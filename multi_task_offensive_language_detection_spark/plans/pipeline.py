@@ -1,0 +1,225 @@
+"""The flagship quality-filter pipeline (SURVEY.md §3.4, M1/M5/M7).
+
+Plan shape (deliberate — see §4 of SURVEY.md):
+
+    scan (partition-pruned to pending parts, column-pruned: never 'bytes')
+      → salted repartition                       [the ONLY wide stage]
+      → one fused native projection: normalize + PII scrub + heuristic
+        scores + taxonomy labels                  [WholeStageCodegen]
+      → one fused ArrowEvalPython stage: langid + perplexity UDFs
+      → keep/drop when-chain                      [narrow]
+      → partitioned write + per-part atomic commit + ledger
+
+The scoring path is shuffle-free after the salt; counters are computed by
+re-reading the (small, bytes-free) staged output rather than caching the
+scored frame — at 10^12 rows a cache is impossible, a cheap re-scan isn't.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..artifacts_build import build_all
+from ..functions import text as FT
+from ..functions.scrub import scrub_all, scrub_edit_count, scrub_pii, scrub_profanity
+from ..lexicons import PROFANITY, THRESHOLDS
+from ..operators import taxonomy
+from ..operators.langid import langid_udf
+from ..operators.perplexity import ppl_udf
+from ..operators.rules import drop_reason, keep_from_reason
+from ..sources.clips import list_parts, part_fingerprint, prune_to_parts, read_clips
+from ..sources.ledger import Ledger, LedgerEntry
+
+OUTPUT_COLS = [
+    "clip_id",
+    "keep",
+    "label_a",
+    "label_b",
+    "label_c",
+    "scrubbed_transcript",
+    "drop_reason",
+    "scrub_edits",
+    "scores",
+    "part_id",
+]
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int | None = None, key: str = "clip_id") -> DataFrame:
+    """X1 — defeat transcript-length skew by hashing the unique key into
+    ``salt_buckets`` uniform salts (≈4× partitions) and shuffling on the
+    salt. AQE handles skewed JOINs; this equalizes map-stage bytes/task,
+    which AQE does not (SURVEY.md §4.3)."""
+    ns = salt_buckets or num_partitions * 4
+    return df.repartition(
+        num_partitions, F.pmod(F.xxhash64(F.col(key)), F.lit(ns))
+    )
+
+
+def score_transcripts(
+    df: DataFrame,
+    text_col: str = "transcript",
+    artifacts: dict[str, str] | None = None,
+    id_col: str = "clip_id",
+    dur_ms_col: str | None = None,
+    th: dict | None = None,
+) -> DataFrame:
+    """Attach the full decision surface to any table with a text column.
+
+    Works on the clips table and on the ``documents`` stand-in alike.
+    Everything except langid/ppl is a native Column expression.
+    """
+    t = th or THRESHOLDS
+    artifacts = artifacts or build_all()
+    raw = F.col(text_col)
+
+    # -- fused native projection #1: normalization + scores ----------------
+    # norm_text: lowercase → PII masked (emails BEFORE mentions) → ws-collapse.
+    # Profanity is retained here — the taxonomy head needs it.
+    norm = FT.normalize_ws(scrub_pii(F.lower(raw)))
+    df = df.withColumns(
+        {
+            "norm_text": norm,
+            "caps_ratio": FT.caps_ratio(raw),
+            "rep_char_run": FT.has_char_run(raw, t["rep_char_run_max"]),
+            "rep_char_ratio": FT.rep_char_ratio(raw),
+            "rep_tok_ratio": FT.rep_tok_ratio(norm),
+            "n_chars": F.length(raw),
+            "n_tokens": FT.token_count(norm),
+            "profanity_hits": FT.word_hits(norm, PROFANITY),
+            # the emitted scrub preserves the raw casing/spacing so clean
+            # kept rows satisfy scrubbed == transcript (BASELINE.json:15)
+            "scrubbed_transcript": scrub_all(raw),
+            # perplexity scores the fully-masked normalized text → known vocab
+            "ppl_text": scrub_profanity(norm),
+        }
+    ).withColumn("scrub_edits", scrub_edit_count(F.col("scrubbed_transcript")))
+
+    # -- single ArrowEvalPython stage: both UDFs in one projection ---------
+    df = df.withColumns(
+        {
+            "langid": langid_udf(artifacts["langid"])(F.col("norm_text")),
+            "ppl": ppl_udf(artifacts["lm"])(F.col("ppl_text")),
+        }
+    ).withColumns(
+        {
+            "langid_lang": F.col("langid.lang"),
+            "langid_conf": F.col("langid.conf"),
+        }
+    )
+
+    # -- decision: taxonomy + gates -----------------------------------------
+    df = taxonomy.with_labels(df, "norm_text")
+    reason = drop_reason(
+        langid_lang=F.col("langid_lang"),
+        ppl=F.col("ppl"),
+        n_chars=F.col("n_chars"),
+        rep_char_run=F.col("rep_char_run"),
+        rep_tok_ratio=F.col("rep_tok_ratio"),
+        caps_ratio=F.col("caps_ratio"),
+        profanity_hits=F.col("profanity_hits"),
+        n_tokens=F.col("n_tokens"),
+        dur_ms=F.col(dur_ms_col) if dur_ms_col else None,
+        th=t,
+    )
+    df = df.withColumn("drop_reason", reason).withColumn(
+        "keep", keep_from_reason(F.col("drop_reason"))
+    )
+    return df.withColumn(
+        "scores",
+        F.struct(
+            F.col("langid_lang"),
+            F.col("langid_conf"),
+            F.col("ppl"),
+            F.col("caps_ratio"),
+            F.col("rep_char_ratio"),
+            F.col("rep_tok_ratio"),
+        ),
+    )
+
+
+def run_clips_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    ledger_dir: str,
+    artifact_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Resume-aware batch job (SURVEY.md §4.4): process only pending
+    partitions, commit each atomically, append ledger rows last."""
+    artifacts = build_all(artifact_dir)
+    all_parts = list_parts(in_path)
+    fps = {p: part_fingerprint(in_path, p) for p in all_parts}
+    ledger = Ledger(ledger_dir)
+    pending = ledger.pending(all_parts, fps)
+    if not pending:
+        return {"processed_parts": 0, "skipped_parts": len(all_parts), **ledger.totals()}
+
+    t0 = time.monotonic()
+    n_shuffle = num_partitions or spark.sparkContext.defaultParallelism * 2
+    clips = prune_to_parts(read_clips(spark, in_path), pending)
+    # column pruning: the scoring path never touches 'bytes'
+    clips = clips.select("clip_id", "dur_ms", "transcript", "part_id")
+    clips = salted_repartition(clips, n_shuffle)
+    scored = score_transcripts(clips, "transcript", artifacts, dur_ms_col="dur_ms")
+
+    staging = out_path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    scored.select(*OUTPUT_COLS).write.mode("overwrite").partitionBy("part_id").parquet(staging)
+
+    # counters from the staged (bytes-free, columnar) output — cheap re-scan
+    stats = {
+        r["part_id"]: r
+        for r in spark.read.parquet(staging)
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((F.col("drop_reason") == "langid").cast("long")).alias("n_langid_reject"),
+            F.sum((F.col("drop_reason") == "perplexity").cast("long")).alias("n_ppl_drop"),
+            F.sum(
+                F.col("drop_reason").isin("length", "repetition", "caps").cast("long")
+            ).alias("n_rule_drop"),
+            F.sum((F.col("drop_reason") == "toxicity").cast("long")).alias("n_toxicity_drop"),
+            F.sum(F.when(F.col("keep"), F.col("scrub_edits")).otherwise(0)).alias(
+                "n_scrub_edits"
+            ),
+        )
+        .collect()
+    }
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    os.makedirs(out_path, exist_ok=True)
+    for p in pending:
+        src = os.path.join(staging, f"part_id={p}")
+        dst = os.path.join(out_path, f"part_id={p}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(src, dst)  # atomic per-partition commit
+        r = stats.get(p)
+        ledger.commit(
+            LedgerEntry(
+                part_id=p,
+                status="done",
+                fingerprint=fps[p],
+                n_in=r["n_in"] if r else 0,
+                n_keep=r["n_keep"] if r else 0,
+                n_langid_reject=r["n_langid_reject"] if r else 0,
+                n_ppl_drop=r["n_ppl_drop"] if r else 0,
+                n_rule_drop=r["n_rule_drop"] if r else 0,
+                n_toxicity_drop=r["n_toxicity_drop"] if r else 0,
+                n_scrub_edits=r["n_scrub_edits"] if r else 0,
+                wall_ms=wall_ms // max(len(pending), 1),
+            )
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "processed_parts": len(pending),
+        "skipped_parts": len(all_parts) - len(pending),
+        "wall_ms": wall_ms,
+        **ledger.totals(),
+    }
