@@ -1,0 +1,1012 @@
+"""Driver correctness surface: one (Spark query, DuckDB oracle SQL) pair
+per implemented operator from SURVEY.md §2.
+
+Conventions that keep the driver's compare deterministic:
+- every computed column is aliased identically on both sides;
+- floating aggregates either go through an exact DECIMAL(18,2)
+  accumulation (money sums) or are rounded to 6 decimals (ratios) —
+  double summation order is engine-dependent, decimals and rounding
+  aren't;
+- top-k / dedup picks are tie-broken by a key column;
+- regexes are RE2-safe (no backrefs/lookaheads) so Java regex and
+  DuckDB RE2 agree. Java-regex-only ops (char-run backrefs) and
+  hash-dependent ops (xxhash64 minhash/simhash) are rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions import text as FT
+from .functions.arrays import dot
+from .functions.scrub import scrub_pii
+from .operators import dedup, metrics, quality, similarity
+from .operators.quality import STOPWORDS
+from .sources.testdata import load_table
+from .streaming import jobs as stream_jobs
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def check(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+# =========================================================================
+# §2.1/2.2 scans, projections, filters
+# =========================================================================
+
+
+@check("scan_documents", "SELECT doc_id, text, lang, source, n_chars FROM documents")
+def scan_documents(spark, sf):
+    return _t(spark, sf, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@check("project_rename", "SELECT doc_id AS id, n_chars AS len FROM documents")
+def project_rename(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("len"))
+
+
+@check("filter_notnull", "SELECT event_id FROM events WHERE props IS NOT NULL")
+def filter_notnull(spark, sf):
+    return _t(spark, sf, "events").filter(F.col("props").isNotNull()).select("event_id")
+
+
+@check(
+    "filter_length",
+    "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 400",
+)
+def filter_length(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("n_chars").between(100, 400))
+        .select("doc_id", "n_chars")
+    )
+
+
+@check(
+    "filter_conjunctive",
+    "SELECT o_orderkey FROM orders "
+    "WHERE o_totalprice > 100000 AND o_orderpriority = '1-URGENT'",
+)
+def filter_conjunctive(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_totalprice") > 100000) & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey")
+
+
+@check(
+    "filter_hierarchy",
+    """
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 'OFF' ELSE 'NOT' END AS label_a,
+           CASE WHEN lang = 'en'
+                THEN CASE WHEN n_chars > 250 THEN 'TIN' ELSE 'UNT' END
+           END AS label_b
+    FROM documents
+    """,
+)
+def filter_hierarchy(spark, sf):
+    """P3 — the nested when-chain hierarchy (B computed only where A)."""
+    d = _t(spark, sf, "documents")
+    a = F.when(F.col("lang") == "en", F.lit("OFF")).otherwise(F.lit("NOT"))
+    b = F.when(
+        a == "OFF",
+        F.when(F.col("n_chars") > 250, F.lit("TIN")).otherwise(F.lit("UNT")),
+    ).otherwise(F.lit(None).cast("string"))
+    return d.select("doc_id", a.alias("label_a"), b.alias("label_b"))
+
+
+# =========================================================================
+# §2.7 set ops / splits / dedup
+# =========================================================================
+
+
+@check("dedup_text", "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text")
+def dedup_text(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+@check(
+    "win_dedup_rownum",
+    """
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def win_dedup_rownum(spark, sf):
+    return dedup.window_dedup(
+        _t(spark, sf, "documents").select("doc_id", "text"), "text", "doc_id"
+    )
+
+
+@check(
+    "union_by_name",
+    "SELECT doc_id, lang FROM documents WHERE source = 'src0' "
+    "UNION ALL SELECT doc_id, lang FROM documents WHERE source = 'src1'",
+)
+def union_by_name(spark, sf):
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("source") == "src0").select("doc_id", "lang")
+    b = d.filter(F.col("source") == "src1").select("lang", "doc_id")  # shuffled order
+    return a.unionByName(b)
+
+
+@check("split_hash_mod", "SELECT doc_id FROM documents WHERE doc_id % 10 < 8")
+def split_hash_mod(spark, sf):
+    """U2 — deterministic hash-mod split (xxhash64 at scale; id-mod here
+    because the oracle engine lacks xxhash64)."""
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+        .select("doc_id")
+    )
+
+
+@check(
+    "set_except",
+    "SELECT doc_id FROM documents EXCEPT ALL "
+    "SELECT doc_id FROM documents WHERE lang = 'en'",
+)
+def set_except(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id").exceptAll(d.filter(F.col("lang") == "en").select("doc_id"))
+
+
+@check(
+    "set_intersect",
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "INTERSECT SELECT s_nationkey FROM supplier",
+)
+def set_intersect(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+# =========================================================================
+# §2.3 joins
+# =========================================================================
+
+
+@check(
+    "join_broadcast_inner",
+    "SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+)
+def join_broadcast_inner(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner"
+    ).select("c_custkey", "n_name")
+
+
+@check(
+    "join_then_agg",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_then_agg(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@check(
+    "join_left",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@check(
+    "join_semi",
+    "SELECT c_custkey FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_semi(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@check(
+    "join_anti",
+    "SELECT c_custkey FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@check(
+    "join_range",
+    """
+    SELECT s_suppkey, c_custkey
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey
+     AND c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    """,
+)
+def join_range(spark, sf):
+    """J4 — equi + range join: the equi key keeps it sort-merge-able, the
+    band predicate applies post-join (no O(n²) nested loop)."""
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    return s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey)
+        & c.c_acctbal.between(s.s_acctbal - 100, s.s_acctbal + 100),
+    ).select("s_suppkey", "c_custkey")
+
+
+# =========================================================================
+# §2.4 aggregations
+# =========================================================================
+
+
+@check("agg_label_counts", "SELECT lang, count(*) AS n FROM documents GROUP BY lang")
+def agg_label_counts(spark, sf):
+    return _t(spark, sf, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@check(
+    "agg_class_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
+         t AS (SELECT sum(n_c) AS n, count(*) AS k FROM c)
+    SELECT lang, round(n / (k * n_c), 6) AS weight FROM c, t
+    """,
+)
+def agg_class_weights(spark, sf):
+    """A2 — w_c = N / (k·n_c); the tiny per-class frame is crossJoined
+    (broadcast) with the single-row grand total."""
+    c = _t(spark, sf, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    t = c.agg(F.sum("n_c").alias("n"), F.count(F.lit(1)).alias("k"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang", F.round(F.col("n") / (F.col("k") * F.col("n_c")), 6).alias("weight")
+    )
+
+
+# gold/pred columns for the metric-kernel checks: binary en-vs-other task,
+# pred from a stopword rule — expressible identically in both engines.
+_PRED_SQL = (
+    "CASE WHEN length(regexp_extract(lower(text), '(\\b(the|and|of|to|is)\\b)')) > 0 "
+    "THEN 'en' ELSE 'other' END"
+)
+_GOLD_SQL = "CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END"
+
+
+def _gold_pred(spark, sf):
+    d = _t(spark, sf, "documents")
+    pred = F.when(
+        quality.stopword_hits(F.col("text"), ("the", "and", "of", "to", "is")) > 0,
+        F.lit("en"),
+    ).otherwise(F.lit("other"))
+    gold = F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other"))
+    return d.select(gold.alias("gold"), pred.alias("pred"))
+
+
+@check(
+    "agg_accuracy",
+    f"SELECT round(avg(CASE WHEN {_GOLD_SQL} = {_PRED_SQL} THEN 1.0 ELSE 0.0 END), 6)"
+    " AS accuracy FROM documents",
+)
+def agg_accuracy(spark, sf):
+    return metrics.accuracy(_gold_pred(spark, sf)).select(
+        F.round("accuracy", 6).alias("accuracy")
+    )
+
+
+@check(
+    "agg_confusion",
+    f"SELECT {_GOLD_SQL} AS gold, {_PRED_SQL} AS pred, count(*) AS n "
+    "FROM documents GROUP BY 1, 2",
+)
+def agg_confusion(spark, sf):
+    return metrics.confusion(_gold_pred(spark, sf))
+
+
+_F1_ORACLE = f"""
+WITH d AS (SELECT {_GOLD_SQL} AS gold, {_PRED_SQL} AS pred FROM documents),
+     cls AS (SELECT DISTINCT gold AS cls FROM d UNION SELECT DISTINCT pred FROM d),
+     m AS (
+       SELECT cls,
+              (SELECT count(*) FROM d WHERE gold = cls AND pred = cls) AS tp,
+              (SELECT count(*) FROM d WHERE pred = cls) AS n_pred,
+              (SELECT count(*) FROM d WHERE gold = cls) AS n_gold
+       FROM cls),
+     prf AS (
+       SELECT cls,
+              CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END AS p,
+              CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END AS r
+       FROM m)
+SELECT cls, round(p, 6) AS precision, round(r, 6) AS recall,
+       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+FROM prf
+"""
+
+
+@check("agg_f1_per_class", _F1_ORACLE)
+def agg_f1_per_class(spark, sf):
+    return metrics.f1_per_class(_gold_pred(spark, sf)).select(
+        "cls",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+_MACRO_F1_ORACLE = f"""
+WITH d AS (SELECT {_GOLD_SQL} AS gold, {_PRED_SQL} AS pred FROM documents),
+     cls AS (SELECT DISTINCT gold AS cls FROM d UNION SELECT DISTINCT pred FROM d),
+     m AS (
+       SELECT cls,
+              (SELECT count(*) FROM d WHERE gold = cls AND pred = cls) AS tp,
+              (SELECT count(*) FROM d WHERE pred = cls) AS n_pred,
+              (SELECT count(*) FROM d WHERE gold = cls) AS n_gold
+       FROM cls),
+     prf AS (
+       SELECT cls,
+              CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END AS p,
+              CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END AS r
+       FROM m)
+SELECT round(avg(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END), 6)
+  AS macro_f1 FROM prf
+"""
+
+
+@check("agg_macro_f1", _MACRO_F1_ORACLE)
+def agg_macro_f1(spark, sf):
+    return metrics.macro_f1(_gold_pred(spark, sf)).select(
+        F.round("macro_f1", 6).alias("macro_f1")
+    )
+
+
+@check(
+    "agg_mean_std",
+    "SELECT l_returnflag, round(avg(l_quantity), 6) AS mean_qty, "
+    "round(stddev_samp(l_quantity), 6) AS std_qty "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def agg_mean_std(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        )
+    )
+
+
+@check(
+    "agg_distinct",
+    "SELECT count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+)
+def agg_distinct(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@check("agg_approx_distinct")  # rows-only: HLL sketches differ per engine
+def agg_approx_distinct(spark, sf):
+    """A8 scale path — approx_count_distinct (HLL++, constant memory)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@check(
+    "agg_rollup",
+    "SELECT lang, source, count(*) AS n FROM documents GROUP BY ROLLUP (lang, source)",
+)
+def agg_rollup(spark, sf):
+    return _t(spark, sf, "documents").rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@check(
+    "topk_terms",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def topk_terms(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@check(
+    "sort_by_key",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+)
+def sort_by_key(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# =========================================================================
+# §2.5 windows
+# =========================================================================
+
+
+@check(
+    "win_rank",
+    """
+    SELECT c_custkey,
+           rank() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS rnk
+    FROM customer
+    """,
+)
+def win_rank(spark, sf):
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return _t(spark, sf, "customer").select(
+        "c_custkey", F.rank().over(w).alias("rnk")
+    )
+
+
+@check(
+    "win_lag_gap",
+    """
+    SELECT event_id,
+           date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events
+    """,
+)
+def win_lag_gap(spark, sf):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+    )
+
+
+@check(
+    "win_moving_avg",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+             AS mavg
+    FROM events
+    """,
+)
+def win_moving_avg(spark, sf):
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return _t(spark, sf, "events").select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("mavg")
+    )
+
+
+# =========================================================================
+# §2.8 scalar functions
+# =========================================================================
+
+
+@check(
+    "str_normalize",
+    "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm "
+    "FROM documents",
+)
+def str_normalize(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", FT.normalize_ws(F.lower(F.col("text"))).alias("norm"))
+
+
+@check(
+    "str_mask_url",
+    """
+    SELECT doc_id,
+           regexp_replace('see https://ex.com/' || doc_id || ' and www.x.org ' || text,
+                          '(https?://\\S+|www\\.\\S+)', 'URL', 'g') AS masked
+    FROM documents
+    """,
+)
+def str_mask_url(spark, sf):
+    d = _t(spark, sf, "documents")
+    synth = F.concat(
+        F.lit("see https://ex.com/"), F.col("doc_id"), F.lit(" and www.x.org "), F.col("text")
+    )
+    return d.select("doc_id", FT.mask_urls(synth).alias("masked"))
+
+
+@check(
+    "str_mask_user",
+    """
+    SELECT doc_id,
+           regexp_replace('@user' || doc_id || ' hello @world ' || text,
+                          '@\\w+', '@USER', 'g') AS masked
+    FROM documents
+    """,
+)
+def str_mask_user(spark, sf):
+    d = _t(spark, sf, "documents")
+    synth = F.concat(F.lit("@user"), F.col("doc_id"), F.lit(" hello @world "), F.col("text"))
+    return d.select(
+        "doc_id", F.regexp_replace(synth, FT.MENTION_RE, "@USER").alias("masked")
+    )
+
+
+@check(
+    "str_tokenize_count",
+    "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens "
+    "FROM documents",
+)
+def str_tokenize_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", FT.token_count(F.col("text")).alias("n_tokens"))
+
+
+@check(
+    "str_truncate",
+    "SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') "
+    "AS head FROM documents",
+)
+def str_truncate(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", FT.truncate_tokens(F.col("text"), 5).alias("head"))
+
+
+@check(
+    "str_caps_ratio",
+    """
+    WITH s AS (SELECT doc_id,
+                      upper(substr(text, 1, 20)) || substr(text, 21) AS t
+               FROM documents)
+    SELECT doc_id,
+           round(CASE WHEN length(regexp_replace(t, '[^A-Za-z]', '', 'g')) = 0
+                 THEN 0.0
+                 ELSE length(regexp_replace(t, '[^A-Z]', '', 'g')) * 1.0
+                      / length(regexp_replace(t, '[^A-Za-z]', '', 'g')) END, 6)
+             AS caps_ratio
+    FROM s
+    """,
+)
+def str_caps_ratio(spark, sf):
+    d = _t(spark, sf, "documents")
+    synth = F.concat(F.upper(F.substring("text", 1, 20)), F.expr("substring(text, 21)"))
+    return d.select("doc_id", F.round(FT.caps_ratio(synth), 6).alias("caps_ratio"))
+
+
+@check(
+    "str_tok_repeat",
+    """
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 1.0
+                     / len(string_split_regex(trim(text), '\\s+')), 6) AS rep_ratio
+    FROM documents
+    """,
+)
+def str_tok_repeat(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.round(FT.rep_tok_ratio(F.col("text")), 6).alias("rep_ratio"))
+
+
+_PII_SYNTH_SQL = (
+    "'contact user' || doc_id || '@example.com or 555-123-4567 ssn 123-45-6789 "
+    "ip 10.0.0.' || (doc_id % 255) || ' ' || text"
+)
+_PII_SCRUB_SQL = f"""
+SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace({_PII_SYNTH_SQL},
+           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '(https?://[^ ]+|www\\.[^ ]+)', 'URL', 'g'),
+           '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+           '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+           '(\\+?1[-. ])?(\\(\\d{{3}}\\)[ ]?|\\d{{3}}[-. ])\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+           '@\\w+', '@USER', 'g') AS scrubbed
+FROM documents
+"""
+
+
+@check("str_pii_scrub", _PII_SCRUB_SQL)
+def str_pii_scrub(spark, sf):
+    d = _t(spark, sf, "documents")
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 555-123-4567 ssn 123-45-6789 ip 10.0.0."),
+        F.pmod(F.col("doc_id"), F.lit(255)),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return d.select("doc_id", scrub_pii(synth).alias("scrubbed"))
+
+
+@check("str_char_run")  # rows-only: Java-regex backreference, not RE2-safe
+def str_char_run(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        FT.has_char_run(F.concat(F.lit("wooooow "), F.col("text")), 5).alias("has_run"),
+        F.round(FT.rep_char_ratio(F.col("text")), 6).alias("rep_char_ratio"),
+    )
+
+
+@check(
+    "json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events",
+)
+def json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@check(
+    "array_dot",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2
+    FROM embeddings
+    """,
+)
+def array_dot(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id", F.round(dot(F.col("embedding"), F.col("embedding")), 4).alias("norm2")
+    )
+
+
+@check(
+    "date_trunc_counts",
+    "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s, "
+    "count(*) AS n FROM events GROUP BY 1",
+)
+def date_trunc_counts(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# =========================================================================
+# quality / curation operators
+# =========================================================================
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+_LANG_HEUR_SQL = "SELECT doc_id, " + (
+    "CASE "
+    + " ".join(
+        # mirror the engine's strict-> argmax with first-name tie win:
+        # lang L wins iff hits(L) > hits(M) for all M before L and ≥... —
+        # simpler: computed via greatest chain below
+        []
+    )
+)
+
+# build the argmax CASE programmatically (first language in sorted order
+# wins ties, matching quality.langid_heuristic)
+_langs = sorted(STOPWORDS)
+_hits_cols = ", ".join(f"{_stopword_hits_sql(lg)} AS h_{lg}" for lg in _langs)
+_best = "0"
+_case = "'und'"
+for lg in _langs:
+    _case = f"CASE WHEN h_{lg} > {_best} THEN '{lg}' ELSE {_case} END"
+    _best = f"greatest(h_{lg}, {_best})"
+# note: chain built so EARLIER langs win ties ⇒ iterate and nest such that
+# later langs need strict '>' over running max — same as engine loop.
+_LANG_HEUR_SQL = f"""
+WITH h AS (SELECT doc_id, {_hits_cols} FROM documents)
+SELECT doc_id, {_case} AS lang_guess FROM h
+"""
+
+
+@check("lang_heuristic", _LANG_HEUR_SQL)
+def lang_heuristic(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality.langid_heuristic(F.col("text")).alias("lang_guess"))
+
+
+@check(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+             AS n_bpe
+    FROM documents
+    """,
+)
+def token_count_bpe(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality.bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+
+
+@check("doc_fingerprint")  # rows-only: xxhash64 is Spark-specific
+def doc_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_QUALITY_SQL = None  # built below
+
+
+def _quality_sql() -> str:
+    sw_pat = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+    return f"""
+    WITH q AS (
+      SELECT doc_id, text,
+             greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS n_tok,
+             len(regexp_extract_all(lower(text), '{sw_pat}')) AS sw,
+             length(text) AS n,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig,
+             length(regexp_replace(text, '\\s', '', 'g')) AS alpha
+      FROM documents)
+    SELECT doc_id,
+           round(least(sw * 1.0 / n_tok * 3.0, 1.0) * 0.4
+                 + CASE WHEN alpha * 1.0 / n_tok BETWEEN 3.0 AND 10.0
+                        THEN 1.0 ELSE 0.3 END * 0.3
+                 + (1.0 - least(CASE WHEN n = 0 THEN 0.0 ELSE punct * 2.0 / n END
+                                + CASE WHEN n = 0 THEN 0.0 ELSE dig * 2.0 / n END,
+                                1.0)) * 0.3, 6) AS quality
+    FROM q
+    """
+
+
+@check("quality_score", _quality_sql())
+def quality_score_check(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality.quality_score(F.col("text")).alias("quality"))
+
+
+# =========================================================================
+# dedup & similarity (scale ops)
+# =========================================================================
+
+
+def _docs_with_mutants(spark, sf) -> DataFrame:
+    """documents ∪ a truncated mutant of each en doc — guarantees real
+    near-dup pairs to find."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mut = (
+        _t(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, 1, greatest(length(text) - 8, 1))").alias("text"),
+        )
+    )
+    return d.unionByName(mut)
+
+
+@check(
+    "dedup_ngram_jaccard",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, greatest(length(text) - 8, 1)) FROM documents
+      WHERE lang = 'en'),
+    sh AS (
+      SELECT doc_id AS k,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 2, 0) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS s
+      FROM docs)
+    SELECT a.k AS k1, b.k AS k2,
+           round(len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.k = a.k + 1000000
+    WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard on doc↔mutant pairs (blocked by construction)."""
+    docs = _docs_with_mutants(spark, sf)
+    a = docs.select(F.col("doc_id").alias("k1"), dedup.char_shingles(F.col("text")).alias("s1"))
+    b = docs.select((F.col("doc_id") - 1000000).alias("k1"), F.col("doc_id").alias("k2"),
+                    dedup.char_shingles(F.col("text")).alias("s2"))
+    j = dedup.jaccard(F.col("s1"), F.col("s2"))
+    return (
+        a.join(b, "k1")
+        .select("k1", "k2", j.alias("j_raw"))
+        .filter(F.col("j_raw") >= 0.8)  # filter pre-rounding, like the oracle
+        .select("k1", "k2", F.round("j_raw", 6).alias("jaccard"))
+    )
+
+
+@check("dedup_minhash_lsh")  # rows-only: xxhash64 minhashes are Spark-specific
+def dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _docs_with_mutants(spark, sf), "doc_id", "text", verify_threshold=0.5
+    ).select("k1", "k2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@check("dedup_simhash")  # rows-only: FNV hash bits are engine-specific
+def dedup_simhash(spark, sf):
+    return dedup.simhash_pairs(_docs_with_mutants(spark, sf), "doc_id", "text")
+
+
+@check("dedup_exact_docs", "SELECT text, min(doc_id) AS doc_id FROM "
+       "(SELECT doc_id, text FROM documents UNION ALL "
+       "SELECT doc_id + 1000000, text FROM documents) GROUP BY text")
+def dedup_exact_docs(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return dedup.exact_dedup(d.unionByName(dup), "text", "doc_id")
+
+
+_QUERY_VEC = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]  # fixed literal query
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT {str(_QUERY_VEC)}::DOUBLE[] AS qv),
+     s AS (
+       SELECT vec_id,
+              list_sum(list_transform(range(1, 65),
+                i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * qv[CAST(i AS INT)]))
+              / (sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS c
+       FROM embeddings, q)
+SELECT vec_id, round(c, 6) AS cosine FROM s
+ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+@check("ann_brute_topk", _ANN_ORACLE)
+def ann_brute_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    r = similarity.brute_force_topk(e, "embedding", _QUERY_VEC, k=10)
+    return r.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@check("ann_lsh_topk")  # rows-only: bucket pruning is recall<1 by design
+def ann_lsh_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    r = similarity.lsh_topk(e, "embedding", _QUERY_VEC, k=10)
+    return r.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# =========================================================================
+# streaming-shaped (batch oracles)
+# =========================================================================
+
+
+@check(
+    "stream_tumbling",
+    """
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS bucket_start_s,
+           event_type, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf):
+    r = stream_jobs.tumbling_counts(_t(spark, sf, "events"))
+    return r.select(
+        "bucket_start_s", "event_type", "n", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+@check(
+    "stream_session",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end_s,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf):
+    """T3 — session_window, oracled by a gaps-and-islands SQL rewrite."""
+    r = stream_jobs.session_counts(_t(spark, sf, "events"))
+    return r.select(
+        "user_id",
+        "session_start_s",
+        "session_end_s",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@check("pipeline_documents")  # rows-only: langid/ppl UDFs aren't SQL
+def pipeline_documents(spark, sf):
+    """The flagship pipeline over the documents stand-in (SURVEY.md M1)."""
+    from .artifacts_build import build_all
+    from .plans.pipeline import score_transcripts
+
+    d = _t(spark, sf, "documents").withColumnRenamed("text", "transcript")
+    scored = score_transcripts(d, "transcript", build_all(), id_col="doc_id")
+    return scored.select(
+        "doc_id", "keep", "label_a", "drop_reason", "scrubbed_transcript"
+    )

@@ -1,0 +1,272 @@
+"""Deduplication suite for large-scale training-data curation.
+
+All variants are Spark-native (no Python in the hot path except SimHash's
+bit-packing, which is a vectorized pandas UDF):
+
+- exact:        hash-groupBy keep-min-key (deterministic, unlike
+                dropDuplicates' arbitrary row pick)
+- window:       row_number over xxhash64(text) — the W1 scale form
+- n-gram Jaccard: char-shingle arrays + array_intersect/union — exact
+                near-dup scoring for candidate pairs
+- MinHash+LSH:  shingle → k minhashes (xxhash64 with k seeds, computed
+                inside native higher-order functions) → banded bucket
+                join → candidate pairs → exact-Jaccard verify.
+                Shuffle cost: one explode + one groupBy on (band, hash) —
+                no O(n²) anywhere, which is what makes it 100 TB-safe.
+- SimHash:      64-bit token-hash majority vote (pandas UDF), hamming
+                bucket join on 16-bit chunks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Keep the min-key row per exact text value. One hash-agg shuffle;
+    map-side partial aggregation applies."""
+    return df.groupBy(text_col).agg(F.min(key_col).alias(key_col))
+
+
+def window_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """W1 — row_number over hash(text): keeps whole rows (not just keys).
+    Partitioning by the 64-bit hash instead of raw text keeps shuffle keys
+    small when texts are long."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.xxhash64(F.col(text_col))).orderBy(key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+# --- n-gram shingles (native) -----------------------------------------------
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct char n-grams of a string as array<string> (native HOF)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0))),
+            lambda i: F.substring(col, i, n),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold. O(n²) per block — ONLY
+    for small blocks / verification; the scale path is minhash_lsh_pairs."""
+    s = df.select(
+        F.col(key_col).alias("k"),
+        char_shingles(F.col(text_col), n).alias("sh"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col("a.k") < F.col("b.k")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.k").alias("k1"),
+            F.col("b.k").alias("k2"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH (native, scale path) ---------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """array<bigint> of ``num_hashes`` minhashes — xxhash64 with per-slot
+    seed, min-reduced inside a native lambda (zero Python)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard.
+
+    Plan: narrow minhash projection → explode(bands) [rows ×bands] →
+    groupBy(band, band_hash) self-join within buckets → distinct pairs →
+    broadcast-free verify join back to shingles. Every stage is bounded by
+    bucket sizes, not table size."""
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(key_col).alias("k"),
+        char_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = base.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "bb.band", "bb.bh")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .select(F.col("l.k").alias("k1"), F.col("r.k").alias("k2"))
+        .distinct()
+    )
+
+    sh = base.select(F.col("k"), F.col("sh"))
+    return (
+        cand.join(sh.withColumnsRenamed({"k": "k1", "sh": "sh1"}), "k1")
+        .join(sh.withColumnsRenamed({"k": "k2", "sh": "sh2"}), "k2")
+        .select("k1", "k2", jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard"))
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash over whitespace tokens (vectorized bit majority)."""
+    from ..functions.hashing import hash_bytes_u64
+
+    for s in it:
+        out = np.zeros(len(s), dtype=np.int64)
+        for i, text in enumerate(s.fillna("")):
+            toks = str(text).lower().split()
+            if not toks:
+                continue
+            hs = np.array([hash_bytes_u64(t.encode()) for t in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            vote = (bits.sum(axis=0) * 2 - len(toks)) > 0
+            val = int(np.packbits(vote[::-1]).view(">u8")[0])
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        yield pd.Series(out)
+
+
+def simhash_pairs(df: DataFrame, key_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, bucketed by
+    16-bit chunks (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
+    h = df.select(F.col(key_col).alias("k"), simhash64_udf(F.col(text_col)).alias("sh"))
+    chunks = h.select(
+        "k",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("k", "sh", "cc.chunk", "cc.cv")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .select(
+            F.col("l.k").alias("k1"),
+            F.col("r.k").alias("k2"),
+            F.col("l.sh").alias("sh1"),
+            F.col("r.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return cand.select("k1", "k2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- embedding near-dup ---------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs. Brute force within blocks (exact); for
+    table-scale use similarity.lsh_bucket first and feed buckets here."""
+    from ..functions.arrays import cosine
+
+    s = df.select(
+        F.col(key_col).alias("k"),
+        F.col(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col("a.k") < F.col("b.k")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.k").alias("k1"),
+            F.col("b.k").alias("k2"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

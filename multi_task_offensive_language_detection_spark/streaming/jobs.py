@@ -1,0 +1,85 @@
+"""Streaming operators (SURVEY.md T1-T5).
+
+Batch/stream parity is the design rule: every transformation here is a
+plain DataFrame function applied to either a batch frame or a
+``readStream`` frame — tests run both and compare (the batch run is the
+oracle, since watermarks are a no-op in batch mode).
+
+Incremental clip ingest (T1) uses the file source with
+``trigger(availableNow=True)`` + checkpointLocation: each invocation
+drains whatever new partitions landed and stops — the streaming
+counterpart of the batch ledger (which remains the primary resume
+mechanism, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(df: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """T2 — event counts per (tumbling window, event_type)."""
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(df: DataFrame, window: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start_s"), "event_type", "n")
+    )
+
+
+def session_counts(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T3 — per-user session windows (gap-based)."""
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_s"),
+            F.unix_timestamp("w.end").alias("session_end_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def with_watermark_tumbling(df: DataFrame, delay: str = "1 hour", window: str = "10 minutes") -> DataFrame:
+    """T4 — watermarked tumbling agg (streaming drops late rows; in batch
+    the watermark is ignored, which is why the oracle check is rows-only)."""
+    return tumbling_counts(df.withWatermark("ts", delay), window)
+
+
+def stream_dedup(df: DataFrame, keys: list[str], delay: str = "1 hour") -> DataFrame:
+    """T5 — stateful streaming dedup within the watermark horizon."""
+    return df.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
+
+def read_events_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_available_now(out_df: DataFrame, checkpoint: str, out_path: str):
+    """T1 — drain-what's-there incremental run; returns the query after
+    awaiting termination (parquet sink, exactly-once per checkpoint)."""
+    q = (
+        out_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
