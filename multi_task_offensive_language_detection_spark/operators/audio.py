@@ -32,15 +32,22 @@ _ULAW_BIAS = 0x84
 _ULAW_CLIP = 32635
 
 
+_ULAW_SEG_ENDS = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], dtype=np.int32
+)
+
+
 def ulaw_encode(pcm16: np.ndarray) -> np.ndarray:
-    """G.711 µ-law compression: int16 → uint8 (vectorized)."""
-    x = pcm16.astype(np.int32)
-    sign = np.where(x < 0, 0x80, 0)
-    x = np.clip(np.abs(x), 0, _ULAW_CLIP) + _ULAW_BIAS
-    exp = (np.floor(np.log2(x)) - 7).astype(np.int32)
-    exp = np.clip(exp, 0, 7)
-    mant = (x >> (exp + 3)) & 0x0F
-    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+    """G.711 µ-law compression: int16 → uint8, bit-exact with the classic
+    CCITT implementation (14-bit domain, arithmetic >>2 BEFORE magnitude —
+    that floor on negatives is why a naive abs-first version is off by one
+    code for some negative inputs)."""
+    x = pcm16.astype(np.int32) >> 2
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    x = np.minimum(np.abs(x), 8159) + 33
+    seg = np.searchsorted(_ULAW_SEG_ENDS, x, side="left")
+    uval = (seg << 4) | ((x >> (seg + 1)) & 0x0F)
+    return (np.where(seg >= 8, 0x7F, uval) ^ mask).astype(np.uint8)
 
 
 def ulaw_decode(u8: np.ndarray) -> np.ndarray:

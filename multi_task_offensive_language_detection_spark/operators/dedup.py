@@ -104,12 +104,19 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH (native, scale path) ---------------------------------------
 
 
+def _seeded_hasher(j: int):
+    # single-arg lambda on purpose: a 2-arg lambda would be interpreted by
+    # F.transform as the (element, index) form and j would silently bind
+    # to the element index instead of the slot seed
+    return lambda s: F.xxhash64(F.lit(j), s)
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """array<bigint> of ``num_hashes`` minhashes — xxhash64 with per-slot
     seed, min-reduced inside a native lambda (zero Python)."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+            F.array_min(F.transform(shingles, _seeded_hasher(j)))
             for j in range(num_hashes)
         ]
     )

@@ -1,0 +1,70 @@
+"""M6 — audio decode + SNR invariant (BASELINE.json:15).
+
+The engine decodes with its own numpy codecs (operators/audio.py); the
+oracle here is the INDEPENDENT stdlib wave/audioop path the fixture used
+to encode — a real cross-implementation check."""
+
+from __future__ import annotations
+
+import audioop
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from multi_task_offensive_language_detection_spark.operators.audio import (
+    decode_pcm,
+    snr_db,
+    ulaw_decode,
+    ulaw_encode,
+    with_audio_stats,
+)
+from tests.fixtures.clips_gen import encode_audio, make_clips, synth_waveform
+
+
+def test_decode_snr_invariant_all_codecs():
+    """Decoded PCM must be allclose (SNR ≥ 30 dB) to the original float
+    waveform for every codec — per-row invariant."""
+    rng = np.random.default_rng(99)
+    for codec in ("wav-pcm16", "pcm_s16le", "ulaw"):
+        for _ in range(20):
+            wav = synth_waveform(rng, int(rng.integers(200, 3000)))
+            data = encode_audio(wav, codec, 16000)
+            dec = decode_pcm(data, codec)
+            assert len(dec) == len(wav)
+            s = snr_db(wav.astype(np.float64), dec.astype(np.float64))
+            assert s >= 30.0, f"{codec}: SNR {s:.1f} dB < 30"
+
+
+def test_ulaw_matches_stdlib():
+    """Engine µ-law vs audioop — bit-exact both directions."""
+    rng = np.random.default_rng(7)
+    pcm = (rng.uniform(-1, 1, 5000) * 32767).astype("<i2")
+    ours = ulaw_encode(pcm)
+    ref = np.frombuffer(audioop.lin2ulaw(pcm.tobytes(), 2), dtype=np.uint8)
+    assert np.array_equal(ours, ref)
+    back_ours = ulaw_decode(ref)
+    back_ref = np.frombuffer(audioop.ulaw2lin(ref.tobytes(), 2), dtype="<i2")
+    assert np.array_equal(back_ours, back_ref)
+
+
+def test_decode_stats_udf_spark(spark, tmp_path):
+    clips, _ = make_clips(n_rows=60, seed=5)
+    sdf = spark.createDataFrame(
+        clips[["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]]
+    )
+    out = with_audio_stats(sdf).select("clip_id", "codec", "audio.*").collect()
+    assert len(out) == 60
+    for r in out:
+        assert r["ok"], f"decode failed for {r['clip_id']} ({r['codec']})"
+        assert r["n_samples"] >= 64
+        assert 0.0 < r["rms"] < 1.0
+
+
+def test_decode_garbage_bytes_not_ok(spark):
+    sdf = spark.createDataFrame(
+        [("x", b"not audio at all", 8000, 100, "wav-pcm16")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    r = with_audio_stats(sdf).select("audio.ok").collect()[0]
+    assert r["ok"] is False

@@ -1,0 +1,86 @@
+"""Dedup + ANN operators: approximate paths verified against exact ones."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from multi_task_offensive_language_detection_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),  # near-dup of 1
+        (3, "completely different content about spark query planning and shuffles"),
+        (4, "completely different content about spark query planning and shuffle"),  # near-dup of 3
+        (5, "unrelated short text"),
+        (6, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_key(docs):
+    out = {r["text"]: r["doc_id"] for r in dedup.exact_dedup(docs, "text", "doc_id").collect()}
+    assert len(out) == 5
+    assert out["the quick brown fox jumps over the lazy dog near the river bank"] == 1
+
+
+def test_window_dedup_matches_exact(docs):
+    w = dedup.window_dedup(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in w.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_what_exact_jaccard_finds(docs):
+    exact = {
+        (r["k1"], r["k2"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    approx = {
+        (r["k1"], r["k2"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", verify_threshold=0.8
+        ).collect()
+    }
+    # LSH-then-verify must find every high-Jaccard pair here (32 hashes,
+    # 8 bands → near-certain recall at j≥0.8) and no false positives
+    # survive the exact verify.
+    assert approx == exact
+    assert (1, 2) in approx and (3, 4) in approx and (1, 6) in approx
+
+
+def test_simhash_neardups(docs):
+    pairs = {(r["k1"], r["k2"]): r["hamming"] for r in
+             dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 6)] == 0  # identical text → identical simhash
+    # near-dup pair sits at small hamming (measured 8 for this data);
+    # the chunk-bucket candidate step guarantees recall only ≤3 bits, so
+    # presence beyond that is best-effort — assert the distance when found
+    if (1, 2) in pairs:
+        assert pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs and (1, 5) not in pairs  # unrelated ≫ budget
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    # plant 10 true neighbors of vec 0 (ids 0-9): source + small noise —
+    # random gaussians are near-orthogonal, so without planting there ARE
+    # no meaningful neighbors for LSH to preserve
+    for i in range(1, 10):
+        vecs[i] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.05]
+    brute = [r["vec_id"] for r in
+             similarity.brute_force_topk(df, "embedding", q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.lsh_topk(df, "embedding", q, k=10).collect()]
+    assert set(brute) == set(range(10))  # the planted cluster IS the top-10
+    assert approx[0] == brute[0]
+    # multiprobe recall on true near-neighbors (cos≈0.98): most recovered
+    assert len(set(brute) & set(approx)) >= 6

@@ -1,0 +1,77 @@
+"""M7 — ledger/resume protocol (SURVEY.md §4.4, §5.2.5): kill-and-rerun
+reprocesses only pending partitions; counters equal straight-through."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_task_offensive_language_detection_spark.plans.pipeline import run_clips_pipeline
+from multi_task_offensive_language_detection_spark.sources.ledger import Ledger
+
+
+@pytest.fixture(scope="module")
+def small_clips(tmp_path_factory):
+    from tests.fixtures.clips_gen import write_clips_parquet
+
+    d = tmp_path_factory.mktemp("resume")
+    clips_dir, _ = write_clips_parquet(str(d), n_rows=400)
+    return str(d), clips_dir
+
+
+def test_resume_after_partial_run(spark, artifacts, small_clips):
+    base, clips_dir = small_clips
+    out, led = f"{base}/out", f"{base}/ledger"
+
+    s1 = run_clips_pipeline(spark, clips_dir, out, led)
+    assert s1["processed_parts"] == 16 and s1["n_in"] == 400
+
+    # rerun: nothing pending
+    s2 = run_clips_pipeline(spark, clips_dir, out, led)
+    assert s2["processed_parts"] == 0 and s2["skipped_parts"] == 16
+    for k in ("n_in", "n_keep", "n_langid_reject", "n_ppl_drop", "n_scrub_edits"):
+        assert s2[k] == s1[k], k
+
+    # simulate a mid-run kill: two partitions never committed
+    for p in (3, 11):
+        os.remove(f"{led}/part-{p:06d}.json")
+        shutil.rmtree(f"{out}/part_id={p}")
+    s3 = run_clips_pipeline(spark, clips_dir, out, led)
+    assert s3["processed_parts"] == 2 and s3["skipped_parts"] == 14
+    for k in ("n_in", "n_keep", "n_langid_reject", "n_ppl_drop", "n_scrub_edits"):
+        assert s3[k] == s1[k], f"counter {k} drifted across resume"
+
+    # output is complete and unduplicated
+    got = spark.read.parquet(out)
+    assert got.count() == 400
+    assert got.select("clip_id").distinct().count() == 400
+
+
+def test_changed_input_fingerprint_triggers_reprocess(spark, artifacts, small_clips, tmp_path):
+    base, clips_dir = small_clips
+    # copy input, run, then mutate one partition's file size → stale fp
+    in2 = str(tmp_path / "clips2")
+    shutil.copytree(clips_dir, in2)
+    out, led = str(tmp_path / "out"), str(tmp_path / "ledger")
+    s1 = run_clips_pipeline(spark, in2, out, led)
+    assert s1["processed_parts"] == 16
+
+    part_dir = os.path.join(in2, "part_id=5")
+    fname = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+    # new data file lands in the partition → file-list fingerprint changes
+    shutil.copy(os.path.join(part_dir, fname), os.path.join(part_dir, "extra.parquet"))
+
+    s2 = run_clips_pipeline(spark, in2, out, led)
+    assert s2["processed_parts"] == 1, "changed input partition must reprocess"
+
+
+def test_ledger_attempt_increments(tmp_path):
+    from multi_task_offensive_language_detection_spark.sources.ledger import LedgerEntry
+
+    led = Ledger(str(tmp_path))
+    led.commit(LedgerEntry(part_id=1, status="done", fingerprint="aa"))
+    led.commit(LedgerEntry(part_id=1, status="done", fingerprint="bb"))
+    assert led.read_one(1).attempt == 2
