@@ -29,6 +29,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_CLIP_ROWS = int(os.environ.get("MTOLD_BENCH_CLIP_ROWS", "200000"))
+#: the scaling runs use TILE× the base rows so compute dominates fixed
+#: overhead (the efficiency criterion is about sustained throughput)
+SCALE_TILE = int(os.environ.get("MTOLD_BENCH_SCALE_TILE", "5"))
 CLIPS_DIR = os.path.join(REPO, ".bench_data", f"clips_{BENCH_CLIP_ROWS}")
 
 #: headline operators — one per family (scan+filter, join+agg, window,
@@ -64,8 +67,18 @@ def ensure_bench_clips() -> str:
     for part_id, grp in clips.groupby("part_id"):
         d = os.path.join(CLIPS_DIR, "clips", f"part_id={part_id}")
         os.makedirs(d, exist_ok=True)
+        base = grp.drop(columns=["part_id"])
+        # tile the partition TILE× with distinct clip_ids: same text
+        # distribution, TILE× the volume, negligible generation cost
+        tiles = []
+        for t in range(SCALE_TILE):
+            tt = base.copy()
+            tt["clip_id"] = tt["clip_id"] + f"_t{t}"
+            tiles.append(tt)
+        import pandas as pd
+
         pq.write_table(
-            pa.Table.from_pandas(grp.drop(columns=["part_id"]), preserve_index=False),
+            pa.Table.from_pandas(pd.concat(tiles, ignore_index=True), preserve_index=False),
             os.path.join(d, "data.parquet"),
         )
     open(marker, "w").write("ok")
@@ -76,10 +89,20 @@ _SCALE_SNIPPET = r"""
 import json, sys, time, shutil
 sys.path.insert(0, {repo!r})
 from multi_task_offensive_language_detection_spark.session import build_session
+from multi_task_offensive_language_detection_spark.artifacts_build import build_all
 from multi_task_offensive_language_detection_spark.plans.pipeline import (
-    run_clips_pipeline,
+    run_clips_pipeline, score_transcripts,
 )
+from pyspark.sql import functions as F
 spark = build_session(app_name="bench-scale", master={master!r})
+# warm-up: spin up every Python worker + load broadcast artifacts once,
+# so the timed run measures sustained throughput, not fork/JIT cost
+warm = spark.range(20000).select(
+    F.lit("the people said they would go to the house").alias("transcript"),
+    F.col("id").cast("string").alias("clip_id"))
+warm = warm.repartition(64)
+score_transcripts(warm, "transcript", build_all()).agg(
+    F.sum("ppl"), F.sum(F.length("scores.langid_lang"))).collect()
 t0 = time.monotonic()
 out = {out!r}
 shutil.rmtree(out, ignore_errors=True)
@@ -158,14 +181,16 @@ def main() -> None:
         fn = checks.QUERIES[name]
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
-        n = df.count()  # force full execution
+        # noop sink: forces EVERY column (count() would let Catalyst prune
+        # the UDF columns away and time nothing)
+        df.write.mode("overwrite").format("noop").save()
         qtimes[name] = round(time.monotonic() - t0, 3)
-        _ = n
     spark.stop()
 
     scale = run_scaling(clips_path)
     total = round(sum(qtimes.values()), 3)
-    write_baseline_md(BENCH_CLIP_ROWS, scale, qtimes, total)
+    scale_rows = BENCH_CLIP_ROWS * SCALE_TILE
+    write_baseline_md(scale_rows, scale, qtimes, total)
 
     print(
         json.dumps(
@@ -176,7 +201,7 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": SF_DIR,
                 "clips": {
-                    "rows": BENCH_CLIP_ROWS,
+                    "rows": scale_rows,
                     "local8_rows_per_s": round(scale[8]["rows_per_s"], 1),
                     "local32_rows_per_s": round(scale[32]["rows_per_s"], 1),
                     "scaling_efficiency": round(scale["efficiency"], 3),

@@ -27,6 +27,10 @@ from .operators.perplexity import NgramLM
 
 SEED = 7
 N_SENT_PER_LANG = 5000
+#: bump when a hash kernel / feature definition changes so stale on-disk
+#: artifacts are never loaded (v2: token hashing moved to the vectorized
+#: utf-32 FNV kernel)
+ARTIFACT_VERSION = 3
 
 # Common-word inventories per language (public knowledge; accents kept —
 # they are the strongest char-n-gram signals).
@@ -170,7 +174,10 @@ def build_all(artifact_dir: str | None = None, force: bool = False) -> dict[str,
     """Idempotent build; returns {'langid': path, 'lm': path}."""
     d = artifact_dir or default_artifact_dir()
     os.makedirs(d, exist_ok=True)
-    paths = {"langid": os.path.join(d, "langid.npz"), "lm": os.path.join(d, "lm.npz")}
+    paths = {
+        "langid": os.path.join(d, f"langid_v{ARTIFACT_VERSION}.npz"),
+        "lm": os.path.join(d, f"lm_v{ARTIFACT_VERSION}.npz"),
+    }
     if force or not os.path.exists(paths["langid"]):
         LangidModel.train(build_langid_corpus()).save(paths["langid"])
     if force or not os.path.exists(paths["lm"]):

@@ -895,8 +895,11 @@ def dedup_ngram_jaccard(spark, sf):
 
 @check("dedup_minhash_lsh")  # rows-only: xxhash64 minhashes are Spark-specific
 def dedup_minhash_lsh(spark, sf):
+    """5-char shingles + 8 bands × 8 rows: same-vocabulary word salads
+    share most 3-grams (everything becomes a candidate), but 5-grams span
+    word boundaries so only true near-dups collide in a band."""
     return dedup.minhash_lsh_pairs(
-        _docs_with_mutants(spark, sf), "doc_id", "text", verify_threshold=0.5
+        _docs_with_mutants(spark, sf), "doc_id", "text", n=5, verify_threshold=0.5
     ).select("k1", "k2", F.round("jaccard", 6).alias("jaccard"))
 
 

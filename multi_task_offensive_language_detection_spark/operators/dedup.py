@@ -108,18 +108,30 @@ def _seeded_hasher(j: int):
     # single-arg lambda on purpose: a 2-arg lambda would be interpreted by
     # F.transform as the (element, index) form and j would silently bind
     # to the element index instead of the slot seed
-    return lambda s: F.xxhash64(F.lit(j), s)
+    return lambda e: F.xxhash64(F.lit(j), e)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """array<bigint> of ``num_hashes`` minhashes — xxhash64 with per-slot
-    seed, min-reduced inside a native lambda (zero Python)."""
+def minhash_signature(hashed_shingles: Column, num_hashes: int = 32) -> Column:
+    """array<bigint> of ``num_hashes`` minhashes from PRE-HASHED shingles
+    (array<bigint>) — zero Python.
+
+    Higher-order functions are interpreted (no codegen), so hashing the
+    shingle STRINGS num_hashes times would dominate. Callers hash the
+    strings once into a materialized column (see minhash_lsh_pairs) and
+    the hash family here just re-hashes 8-byte longs with per-slot seeds
+    (seeded xxhash64 over a base hash is a perfectly good universal
+    family) — ~10× less work for the same LSH guarantees."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _seeded_hasher(j)))
+            F.array_min(F.transform(hashed_shingles, _seeded_hasher(j)))
             for j in range(num_hashes)
         ]
     )
+
+
+def hashed_shingles(shingles: Column) -> Column:
+    """One string-hash pass: array<string> → array<bigint>."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
 def minhash_lsh_pairs(
@@ -127,7 +139,7 @@ def minhash_lsh_pairs(
     key_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 8,
     verify_threshold: float = 0.5,
 ) -> DataFrame:
@@ -139,10 +151,22 @@ def minhash_lsh_pairs(
     broadcast-free verify join back to shingles. Every stage is bounded by
     bucket sizes, not table size."""
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(key_col).alias("k"),
-        char_shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    base = (
+        df.select(
+            F.col(key_col).alias("k"),
+            char_shingles(F.col(text_col), n).alias("sh"),
+        )
+        # materialize the one-string-hash-pass column so the 32 slot
+        # expressions rehash longs, not strings
+        .withColumn("hs", hashed_shingles(F.col("sh")))
+        .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
+        .drop("hs")
+        # persisted: the banding explode AND both sides of the verify join
+        # re-read this frame — without persist the whole shingle+signature
+        # computation re-runs 4× (at table scale: persist to disk or
+        # checkpoint the signatures table)
+        .persist()
+    )
 
     banded = base.select(
         "k",

@@ -25,8 +25,12 @@ from pyspark.sql import types as T
 
 from ..functions.hashing import char_ngram_buckets
 
-NGRAM_ORDERS = (2, 3)
+NGRAM_ORDERS = (3,)
 N_BUCKETS = 1 << 16
+#: chars of text consulted per row — language ID saturates long before
+#: this; capping bounds memory traffic per row (the scorer is
+#: bandwidth-bound, not compute-bound)
+MAX_CHARS = 256
 
 LANGID_RESULT = T.StructType(
     [
@@ -85,29 +89,39 @@ class LangidModel:
         )
 
     def score_batch(self, texts: pd.Series) -> pd.DataFrame:
-        """Per-text argmax language + posterior confidence (vectorized numpy
-        per row over hashed n-gram buckets)."""
-        langs = np.empty(len(texts), dtype=object)
-        confs = np.empty(len(texts), dtype=np.float64)
-        for i, text in enumerate(texts.fillna("")):
-            ll = self.prior.astype(np.float64).copy()
-            n_feats = 0
-            for n in NGRAM_ORDERS:
-                b = char_ngram_buckets(str(text).lower(), n, N_BUCKETS)
-                if len(b):
-                    ll += self.logp[n][:, b].sum(axis=1)
-                    n_feats += len(b)
-            if n_feats == 0:
-                langs[i], confs[i] = "und", 0.0
+        """Batch argmax language + posterior confidence — fully vectorized:
+        ONE rolling hash over the whole Arrow batch, per-row log-lik sums
+        via bincount, no Python loop over rows."""
+        from ..functions.hashing import char_ngram_buckets_flat
+
+        tl = [str(t)[:MAX_CHARS].lower() for t in texts.fillna("")]
+        n_rows = len(tl)
+        ll = np.tile(self.prior.astype(np.float64)[:, None], (1, n_rows))
+        n_feats = np.zeros(n_rows, dtype=np.int64)
+        for n in NGRAM_ORDERS:
+            buckets, rows = char_ngram_buckets_flat(tl, n, N_BUCKETS)
+            if len(buckets) == 0:
                 continue
-            # length-normalized posterior (softmax over mean log-lik) so
-            # confidence is comparable across transcript lengths
-            z = ll / max(n_feats, 1)
-            z = z - z.max()
-            p = np.exp(z * 50.0)  # sharpen: mean-ll gaps are small
-            p /= p.sum()
-            k = int(np.argmax(p))
-            langs[i], confs[i] = self.langs[k], float(p[k])
+            gathered = self.logp[n][:, buckets]  # (L, W) float32 — keep it small
+            # segment-sum via reduceat (rows are sorted by construction);
+            # empty segments need a post-fix: reduceat yields g[b] there
+            counts = np.bincount(rows, minlength=n_rows)
+            boundaries = np.searchsorted(rows, np.arange(n_rows))
+            boundaries[boundaries == len(rows)] = max(len(rows) - 1, 0)
+            seg = np.add.reduceat(gathered, boundaries, axis=1)
+            seg[:, counts == 0] = 0.0
+            ll += seg
+            n_feats += counts
+        # length-normalized posterior (softmax over mean log-lik, sharpened)
+        z = ll / np.maximum(n_feats, 1)[None, :]
+        z = z - z.max(axis=0, keepdims=True)
+        p = np.exp(z * 50.0)
+        p /= p.sum(axis=0, keepdims=True)
+        k = np.argmax(p, axis=0)
+        langs = np.asarray(self.langs, dtype=object)[k]
+        confs = p[k, np.arange(n_rows)]
+        langs[n_feats == 0] = "und"
+        confs[n_feats == 0] = 0.0
         return pd.DataFrame({"lang": langs, "conf": confs})
 
 

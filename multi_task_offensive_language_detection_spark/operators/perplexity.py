@@ -69,22 +69,40 @@ class NgramLM:
         return cls(z["uni"], z["bi"], int(z["total"]))
 
     def ppl(self, text: str) -> float:
-        toks = str(text).lower().split()
-        if not toks:
-            return float("inf")
-        u = token_buckets(toks, UNI_BUCKETS)
-        c1 = self.uni[u].astype(np.float64)
-        p = np.where(c1 > 0, BACKOFF * c1 / self.total, BACKOFF * P_UNK)
-        if len(toks) >= 2:
-            b2 = token_ngram_buckets(toks, 2, BI_BUCKETS)
-            c2 = self.bi[b2].astype(np.float64)
-            prev = c1[:-1]
-            p_bi = np.where((c2 > 0) & (prev > 0), c2 / np.maximum(prev, 1), 0.0)
-            p[1:] = np.maximum(p[1:], p_bi)
-        return float(np.exp(-np.log(np.maximum(p, 1e-300)).mean()))
+        return float(self.ppl_batch(pd.Series([text])).iloc[0])
 
     def ppl_batch(self, texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(self.ppl)
+        """Batch Stupid-Backoff perplexity — one vectorized hash pass over
+        the flattened token stream of the whole Arrow batch, per-row
+        reduction via bincount. No Python loop beyond tokenization."""
+        from ..functions.hashing import combine_hashes, token_hash_batch
+
+        tok_lists = [str(t).lower().split() for t in texts.fillna("")]
+        n_rows = len(tok_lists)
+        n_tok = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_rows)
+        flat: list[str] = [t for toks in tok_lists for t in toks]
+        if not flat:
+            return pd.Series(np.full(n_rows, np.inf), index=texts.index)
+        rows = np.repeat(np.arange(n_rows), n_tok)
+
+        h = token_hash_batch(flat)
+        c1 = self.uni[(h % np.uint64(UNI_BUCKETS)).astype(np.int64)].astype(np.float64)
+        p = np.where(c1 > 0, BACKOFF * c1 / self.total, BACKOFF * P_UNK)
+
+        if len(flat) >= 2:
+            same_row = rows[:-1] == rows[1:]
+            g = combine_hashes(h[:-1], h[1:])
+            c2 = self.bi[(g % np.uint64(BI_BUCKETS)).astype(np.int64)].astype(np.float64)
+            prev = c1[:-1]
+            p_bi = np.where(same_row & (c2 > 0) & (prev > 0), c2 / np.maximum(prev, 1), 0.0)
+            p[1:] = np.maximum(p[1:], p_bi)
+
+        logs = np.log(np.maximum(p, 1e-300))
+        sums = np.bincount(rows, weights=logs, minlength=n_rows)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.exp(-sums / np.maximum(n_tok, 1))
+        out[n_tok == 0] = np.inf
+        return pd.Series(out, index=texts.index)
 
 
 # --- Spark surface ---------------------------------------------------------

@@ -29,8 +29,6 @@ from ..functions import text as FT
 from ..functions.scrub import scrub_all, scrub_edit_count, scrub_pii, scrub_profanity
 from ..lexicons import PROFANITY, THRESHOLDS
 from ..operators import taxonomy
-from ..operators.langid import langid_udf
-from ..operators.perplexity import ppl_udf
 from ..operators.rules import drop_reason, keep_from_reason
 from ..sources.clips import list_parts, part_fingerprint, prune_to_parts, read_clips
 from ..sources.ledger import Ledger, LedgerEntry
@@ -81,34 +79,44 @@ def score_transcripts(
     # norm_text: lowercase → PII masked (emails BEFORE mentions) → ws-collapse.
     # Profanity is retained here — the taxonomy head needs it.
     norm = FT.normalize_ws(scrub_pii(F.lower(raw)))
+    df = df.withColumn("norm_text", norm).withColumn(
+        "_toks", FT.tokens_of_normalized(F.col("norm_text"))
+    )
+    ntext, toks = F.col("norm_text"), F.col("_toks")
     df = df.withColumns(
         {
-            "norm_text": norm,
             "caps_ratio": FT.caps_ratio(raw),
             "rep_char_run": FT.has_char_run(raw, t["rep_char_run_max"]),
             "rep_char_ratio": FT.rep_char_ratio(raw),
-            "rep_tok_ratio": FT.rep_tok_ratio(norm),
+            # one shared split feeds all token metrics (a regex split per
+            # metric tripled the native-stage cost at 1M rows)
+            "rep_tok_ratio": FT.rep_tok_ratio_from(toks, ntext),
             "n_chars": F.length(raw),
-            "n_tokens": FT.token_count(norm),
-            "profanity_hits": FT.word_hits(norm, PROFANITY),
+            "n_tokens": FT.token_count_from(toks, ntext),
+            "profanity_hits": FT.word_hits(ntext, PROFANITY),
             # the emitted scrub preserves the raw casing/spacing so clean
             # kept rows satisfy scrubbed == transcript (BASELINE.json:15)
             "scrubbed_transcript": scrub_all(raw),
             # perplexity scores the fully-masked normalized text → known vocab
-            "ppl_text": scrub_profanity(norm),
+            "ppl_text": scrub_profanity(ntext),
         }
     ).withColumn("scrub_edits", scrub_edit_count(F.col("scrubbed_transcript")))
 
-    # -- single ArrowEvalPython stage: both UDFs in one projection ---------
-    df = df.withColumns(
-        {
-            "langid": langid_udf(artifacts["langid"])(F.col("norm_text")),
-            "ppl": ppl_udf(artifacts["lm"])(F.col("ppl_text")),
-        }
+    # -- single ArrowEvalPython stage: langid + ppl folded into ONE
+    # iterator UDF (iter-type UDFs can't be fused by Catalyst, so two
+    # separate UDFs would mean two Arrow round-trips — see scoring.py)
+    from ..operators.scoring import combined_scores_udf
+
+    df = df.withColumn(
+        "pyscores",
+        combined_scores_udf(artifacts["langid"], artifacts["lm"])(
+            F.col("norm_text"), F.col("ppl_text")
+        ),
     ).withColumns(
         {
-            "langid_lang": F.col("langid.lang"),
-            "langid_conf": F.col("langid.conf"),
+            "langid_lang": F.col("pyscores.lang"),
+            "langid_conf": F.col("pyscores.conf"),
+            "ppl": F.col("pyscores.ppl"),
         }
     )
 
@@ -170,7 +178,18 @@ def run_clips_pipeline(
 
     staging = out_path.rstrip("/") + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
-    scored.select(*OUTPUT_COLS).write.mode("overwrite").partitionBy("part_id").parquet(staging)
+    # cluster output rows by part_id before the dynamic-partition write:
+    # without this every salted task writes a file into every part dir
+    # (tasks × parts files — a small-files disaster at cluster scale);
+    # with it each part is written by one task → one file per part.
+    # Scoring still runs in the salted stage, upstream of this exchange.
+    (
+        scored.select(*OUTPUT_COLS)
+        .repartition("part_id")
+        .write.mode("overwrite")
+        .partitionBy("part_id")
+        .parquet(staging)
+    )
 
     # counters from the staged (bytes-free, columnar) output — cheap re-scan
     stats = {

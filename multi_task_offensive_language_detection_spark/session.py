@@ -25,6 +25,12 @@ def build_session(
     ``shuffle_partitions`` (sized to cores in local mode — the 200 default
     over-partitions small local runs).
     """
+    # glibc malloc tuning for the Python scoring workers: without it every
+    # large numpy temporary is mmap'd and munmap'd, and the TLB-shootdown
+    # storm across 32 workers costs ~40% of scoring throughput (measured in
+    # BENCH work, round 1). Must be in the env BEFORE the JVM forks workers.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -1,0 +1,90 @@
+"""Physical-plan shape assertions (SURVEY.md §4, the '.explain and
+iterate' discipline): these lock in the optimizations so a refactor that
+silently adds a Python stage or breaks pushdown fails CI."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _formatted_plan(df, spark) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _tree(plan: str) -> str:
+    return plan.split("\n\n")[0]
+
+
+@pytest.fixture(scope="module")
+def scored_plan(spark, artifacts, clips_fixture):
+    from multi_task_offensive_language_detection_spark.plans.pipeline import (
+        salted_repartition,
+        score_transcripts,
+    )
+    from multi_task_offensive_language_detection_spark.sources.clips import (
+        prune_to_parts,
+        read_clips,
+    )
+
+    clips_dir, _ = clips_fixture
+    clips = prune_to_parts(read_clips(spark, clips_dir), [1, 2, 3]).select(
+        "clip_id", "dur_ms", "transcript", "part_id"
+    )
+    scored = score_transcripts(
+        salted_repartition(clips, 8), "transcript", artifacts, dur_ms_col="dur_ms"
+    )
+    return _formatted_plan(scored, spark)
+
+
+def test_single_python_stage(scored_plan):
+    """langid+ppl fold into ONE ArrowEvalPython node — one Arrow boundary."""
+    tree = _tree(scored_plan)
+    assert len(re.findall(r"ArrowEvalPython", tree)) == 1, tree
+    assert "BatchEvalPython" not in scored_plan  # no row-at-a-time Python
+
+
+def test_partition_pruning(scored_plan):
+    assert re.search(r"PartitionFilters: \[part_id.* IN \(1,2,3\)\]", scored_plan)
+
+
+def test_bytes_column_never_read(scored_plan):
+    m = re.search(r"ReadSchema: (\S+)", scored_plan)
+    assert m and "bytes" not in m.group(1), m.group(1)
+
+
+def test_one_shuffle_before_scoring(scored_plan):
+    """Exactly the salt exchange sits between scan and Python stage."""
+    tree = _tree(scored_plan)
+    assert len(re.findall(r"Exchange", tree)) == 1, tree
+
+
+def test_filter_pushdown_documents(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("n_chars").between(100, 400))
+        .select("doc_id", "n_chars")
+    )
+    plan = _formatted_plan(df, spark)
+    assert "GreaterThanOrEqual(n_chars,100)" in plan
+    assert "LessThanOrEqual(n_chars,400)" in plan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "text" not in m.group(1)  # column pruning
+
+
+def test_broadcast_join_in_plan(spark):
+    from multi_task_offensive_language_detection_spark.checks import QUERIES
+
+    df = QUERIES["join_broadcast_inner"](spark, "/root/testdata/sf0.001")
+    assert "BroadcastHashJoin" in _formatted_plan(df, spark)
+
+
+def test_topk_does_not_full_sort(spark):
+    from multi_task_offensive_language_detection_spark.checks import QUERIES
+
+    df = QUERIES["sort_by_key"](spark, "/root/testdata/sf0.001")
+    assert "TakeOrderedAndProject" in _formatted_plan(df, spark)
