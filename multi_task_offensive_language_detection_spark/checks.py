@@ -1013,3 +1013,147 @@ def pipeline_documents(spark, sf):
     return scored.select(
         "doc_id", "keep", "label_a", "drop_reason", "scrubbed_transcript"
     )
+
+
+@check(
+    "grouped_zscore",
+    """
+    SELECT event_id,
+           round(CASE WHEN stddev_samp(value) OVER w IS NULL
+                       OR stddev_samp(value) OVER w = 0 THEN 0.0
+                 ELSE (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                 END, 6) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def grouped_zscore_check(spark, sf):
+    """X1 — applyInPandas grouped-map, cross-checked against the SQL
+    window formulation of the same standardization."""
+    from .operators.grouped import grouped_zscore
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    return grouped_zscore(e, "user_id", "value").select(
+        "event_id", F.round("zscore", 6).alias("zscore")
+    )
+
+
+@check(
+    "str_demojize",
+    # oracle: replace() chain over the same pinned table subset used in
+    # the synthesized input — engine runs the full translate-map UDF
+    """
+    SELECT doc_id,
+           replace(replace('fire ' || chr(128293) || ' and joy ' || chr(128514)
+                           || ' ' || text,
+                   chr(128293), ':fire:'),
+                   chr(128514), ':face_with_tears_of_joy:') AS demojized
+    FROM documents
+    """,
+)
+def str_demojize(spark, sf):
+    from .operators.emoji import demojize_udf
+
+    d = _t(spark, sf, "documents")
+    synth = F.concat(
+        F.lit("fire \U0001F525 and joy \U0001F602 "), F.col("text")
+    )
+    return d.select("doc_id", demojize_udf(synth).alias("demojized"))
+
+
+@check(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+             AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf):
+    """The classic scan→filter→agg shape (TPC-H Q1) — partial+final hash
+    agg, decimal accumulation for engine-independent exactness."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(8,4)"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@check(
+    "agg_pivot_confusion",
+    f"""
+    SELECT gold,
+           count(*) FILTER (WHERE pred = 'en') AS pred_en,
+           count(*) FILTER (WHERE pred = 'other') AS pred_other
+    FROM (SELECT {_GOLD_SQL} AS gold, {_PRED_SQL} AS pred FROM documents)
+    GROUP BY gold
+    """,
+)
+def agg_pivot_confusion(spark, sf):
+    """A4 pivot form: confusion matrix as wide columns."""
+    return (
+        _gold_pred(spark, sf)
+        .groupBy("gold")
+        .pivot("pred", ["en", "other"])
+        .count()
+        .fillna(0)
+        .select(
+            "gold",
+            F.col("en").alias("pred_en"),
+            F.col("other").alias("pred_other"),
+        )
+    )
+
+
+@check(
+    "agg_cube",
+    "SELECT lang, source, count(*) AS n FROM documents GROUP BY CUBE (lang, source)",
+)
+def agg_cube(spark, sf):
+    return _t(spark, sf, "documents").cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@check(
+    "explode_posexplode",
+    """
+    SELECT doc_id, pos, token
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                 CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos
+          FROM documents WHERE n_chars < 150)
+    WHERE token <> ''
+    """,
+)
+def explode_posexplode(spark, sf):
+    """X3 UDTF surface: positional explode of token arrays."""
+    d = _t(spark, sf, "documents").filter(F.col("n_chars") < 150)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )

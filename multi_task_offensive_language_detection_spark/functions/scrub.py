@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..lexicons import PROFANITY
 
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
-URL_RE = r"(https?://\S+|www\.\S+)"
+URL_RE = r"(?i)(https?://\S+|www\.\S+)"
 IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 # +1 555-123-4567 | (555) 123-4567 | 555.123.4567 | 5551234567 (10+ digits)

@@ -102,6 +102,10 @@ class LangidModel:
             buckets, rows = char_ngram_buckets_flat(tl, n, N_BUCKETS)
             if len(buckets) == 0:
                 continue
+            # stride-2 sampling: half the n-grams carry far more signal
+            # than the decision needs (confidences sit at ~1.0) and the
+            # scorer is bandwidth-bound — sampling halves memory traffic
+            buckets, rows = buckets[::2], rows[::2]
             gathered = self.logp[n][:, buckets]  # (L, W) float32 — keep it small
             # segment-sum via reduceat (rows are sorted by construction);
             # empty segments need a post-fix: reduceat yields g[b] there

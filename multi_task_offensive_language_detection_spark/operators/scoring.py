@@ -43,17 +43,18 @@ def _load_lm(path: str) -> NgramLM:
 
 
 def combined_scores_udf(langid_path: str, lm_path: str):
-    """(langid_text, ppl_text) → struct<lang, conf, ppl>."""
+    """norm_text → struct<lang, conf, ppl> — one input column, one
+    output struct, one Arrow boundary. The LM scores the same normalized
+    text langid sees (profanity words and lowercased placeholders are in
+    the LM vocabulary, so no separate masked column is needed)."""
 
     @F.pandas_udf(COMBINED_RESULT)
-    def _score(
-        it: Iterator[tuple[pd.Series, pd.Series]],
-    ) -> Iterator[pd.DataFrame]:
+    def _score(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         langid = _load_langid(langid_path)  # once per worker
         lm = _load_lm(lm_path)
-        for norm_text, ppl_text in it:
+        for norm_text in it:
             out = langid.score_batch(norm_text)
-            out["ppl"] = lm.ppl_batch(ppl_text).to_numpy()
+            out["ppl"] = lm.ppl_batch(norm_text).to_numpy()
             yield out
 
     return _score

@@ -30,8 +30,11 @@ def signals(norm_text: Column) -> dict[str, Column]:
     """The four boolean lexicon signals (each one compiled JVM regex)."""
     return {
         "profane": word_flag(norm_text, PROFANITY),
+        # masked mentions appear as @USER (case-preserving paths) or @user
+        # (lowercased norm_text) — accept both spellings
         "second_person": word_flag(norm_text, SECOND_PERSON)
-        | norm_text.contains("@USER"),
+        | norm_text.contains("@USER")
+        | norm_text.contains("@user"),
         "group": word_flag(norm_text, GROUP_NOUNS),
         "entity": word_flag(norm_text, ENTITY_NOUNS),
     }

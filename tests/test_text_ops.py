@@ -1,0 +1,80 @@
+"""Unit tests: normalization composite, mention-run cap, emoji, sinks,
+taxonomy signal edges."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from multi_task_offensive_language_detection_spark.functions.text import (
+    normalize_text,
+    truncate_tokens,
+)
+from multi_task_offensive_language_detection_spark.operators.emoji import (
+    demojize_py,
+    with_demojized,
+)
+from multi_task_offensive_language_detection_spark.sources.sinks import (
+    write_submission_csv,
+)
+
+
+def _one(spark, text, col):
+    return (
+        spark.createDataFrame([(text,)], "t string")
+        .select(col(F.col("t")).alias("out"))
+        .collect()[0]["out"]
+    )
+
+
+def test_normalize_text_masks_and_collapses(spark):
+    got = _one(
+        spark,
+        "Check HTTPS://Example.COM/x and @Alice @bob @carol @dave @eve  NOW",
+        normalize_text,
+    )
+    # lowercase, URL token, 5 mentions collapsed to 3, ws collapsed
+    assert got == "check URL and @USER @USER @USER now"
+
+
+def test_truncate_tokens(spark):
+    assert _one(spark, "a b c d e f g", lambda c: truncate_tokens(c, 3)) == "a b c"
+
+
+def test_demojize_pinned_table():
+    assert demojize_py("on \U0001F525 today \U0001F602!") == (
+        "on :fire: today :face_with_tears_of_joy:!"
+    )
+    assert demojize_py("plain text") == "plain text"
+
+
+def test_demojize_udf(spark):
+    df = spark.createDataFrame([("a \U0001F44D b",), (None,)], "t string")
+    got = [r["demojized"] for r in with_demojized(df, "t").collect()]
+    assert got[0] == "a :thumbs_up: b"
+    assert got[1] == ""
+
+
+def test_submission_csv_sink(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(3, "OFF"), (1, "NOT"), (2, "OFF")], "id long, label string"
+    )
+    out = str(tmp_path / "sub")
+    write_submission_csv(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1  # single-file submission
+    lines = open(os.path.join(out, files[0])).read().strip().splitlines()
+    assert lines == ["1,NOT", "2,OFF", "3,OFF"]  # headerless, id-sorted
+
+
+def test_taxonomy_priority_ind_over_grp(spark):
+    """A text with BOTH a second-person and a group signal → IND (pinned
+    decision order, taxonomy.label_c)."""
+    from multi_task_offensive_language_detection_spark.operators import taxonomy
+
+    df = spark.createDataFrame(
+        [("you fans are all idiots",)], "norm_text string"
+    )
+    r = taxonomy.with_labels(df).collect()[0]
+    assert (r["label_a"], r["label_b"], r["label_c"]) == ("OFF", "TIN", "IND")
