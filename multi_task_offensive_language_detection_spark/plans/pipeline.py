@@ -98,15 +98,28 @@ def score_transcripts(
             "n_chars": F.length(raw),
             "n_tokens": FT.token_count_from(toks, ntext),
             "profanity_hits": FT.word_hits(ntext, PROFANITY),
-            # the emitted scrub preserves the raw casing/spacing so clean
-            # kept rows satisfy scrubbed == transcript (BASELINE.json:15);
-            # PII already masked above, only profanity left to replace
-            "scrubbed_transcript": scrub_profanity(F.col("_pii_scrubbed")),
             # perplexity scores norm_text directly: profanity words and the
-            # lowercased placeholders are all in the LM vocabulary, so the
-            # extra profanity-masking regex pass bought nothing
+            # lowercased placeholders are all in the LM vocabulary, so no
+            # separately masked column is needed
         }
-    ).withColumn("scrub_edits", scrub_edit_count(F.col("scrubbed_transcript")))
+    )
+    # the emitted scrub preserves the raw casing/spacing so clean kept rows
+    # satisfy scrubbed == transcript (BASELINE.json:15); PII already masked,
+    # only profanity left — guarded by the hit count so clean rows skip the
+    # 50-word alternation rebuild, and edit counting only runs on rows the
+    # scrub actually changed
+    df = df.withColumn(
+        "scrubbed_transcript",
+        F.when(
+            F.col("profanity_hits") > 0, scrub_profanity(F.col("_pii_scrubbed"))
+        ).otherwise(F.col("_pii_scrubbed")),
+    ).withColumn(
+        "scrub_edits",
+        F.when(
+            F.col("scrubbed_transcript") != raw,
+            scrub_edit_count(F.col("scrubbed_transcript")),
+        ).otherwise(F.lit(0)),
+    )
 
     # -- single ArrowEvalPython stage: langid + ppl folded into ONE
     # iterator UDF (iter-type UDFs can't be fused by Catalyst, so two
@@ -127,7 +140,7 @@ def score_transcripts(
     )
 
     # -- decision: taxonomy + gates -----------------------------------------
-    df = taxonomy.with_labels(df, "norm_text")
+    df = taxonomy.with_labels(df, "norm_text", profane=F.col("profanity_hits") > 0)
     reason = drop_reason(
         langid_lang=F.col("langid_lang"),
         ppl=F.col("ppl"),
