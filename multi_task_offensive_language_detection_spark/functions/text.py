@@ -28,8 +28,19 @@ def mask_mentions(col: Column) -> Column:
 
 
 def normalize_ws(col: Column) -> Column:
-    """F1 — collapse whitespace and trim."""
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    """F1 — collapse whitespace and trim. The collapse rebuild is guarded:
+    already-single-spaced text (the overwhelming majority) skips it."""
+    return F.trim(
+        F.when(
+            col.rlike(r"\s\s|[\t\n\r]"), F.regexp_replace(col, r"\s+", " ")
+        ).otherwise(col)
+    )
+
+
+def lower_guarded(col: Column) -> Column:
+    """lower() copies the string even when it's already lowercase — guard
+    with an uppercase search so all-lowercase rows pass through."""
+    return F.when(col.rlike("[A-Z]"), F.lower(col)).otherwise(col)
 
 
 def normalize_text(col: Column) -> Column:
@@ -89,12 +100,16 @@ def rep_char_ratio(col: Column) -> Column:
     """F9 companion score: fraction of chars removed by squeezing runs ≥3.
 
     ``1 - len(squeezed)/len(raw)`` where squeezed collapses any 3+ run to 1
-    char. 0.0 for clean text, → 1.0 for e.g. 'aaaaaaaa'.
+    char. 0.0 for clean text, → 1.0 for e.g. 'aaaaaaaa'. The squeeze
+    rebuild only runs on rows that HAVE a 3-run (rlike guard — search,
+    no string copy).
     """
     squeezed = F.length(F.regexp_replace(col, r"(.)\1{2,}", "$1"))
     n = F.length(col)
-    return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - squeezed.cast("double") / n.cast("double")
+    return F.when(~col.rlike(r"(.)\1\1"), F.lit(0.0)).otherwise(
+        F.when(n == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - squeezed.cast("double") / n.cast("double")
+        )
     )
 
 

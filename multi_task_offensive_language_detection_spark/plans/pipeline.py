@@ -84,7 +84,7 @@ def score_transcripts(
     # every duplicated pass matters (measured: ~66µs/row/core).
     df = df.withColumn("_pii_scrubbed", scrub_pii(raw))
     df = df.withColumn(
-        "norm_text", FT.normalize_ws(F.lower(F.col("_pii_scrubbed")))
+        "norm_text", FT.normalize_ws(FT.lower_guarded(F.col("_pii_scrubbed")))
     ).withColumn("_toks", FT.tokens_of_normalized(F.col("norm_text")))
     ntext, toks = F.col("norm_text"), F.col("_toks")
     df = df.withColumns(
