@@ -1157,3 +1157,60 @@ def explode_posexplode(spark, sf):
         .filter(F.col("token") != "")
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
     )
+
+
+@check(
+    "join_asof",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(last_purchase_ts)) AS BIGINT) AS last_purchase_s
+    FROM (
+      SELECT event_id, event_type,
+             max(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
+      FROM events)
+    WHERE event_type = 'click'
+    """,
+)
+def join_asof(spark, sf):
+    """J5 — as-of semantics (latest prior 'purchase' per user for every
+    'click') via the running-last-value window formulation: no join at
+    all, one shuffle on user_id — the scalable as-of pattern."""
+    e = _t(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("lp", last_purchase)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.unix_timestamp("lp").alias("last_purchase_s"),
+        )
+    )
+
+
+@check(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf):
+    """Exact interpolated percentiles (approx sketches differ per engine,
+    so the check uses the exact form; the 100 TB path is
+    approx_percentile, same API shape)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+    )

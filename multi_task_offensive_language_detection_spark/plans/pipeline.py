@@ -261,3 +261,33 @@ def run_clips_pipeline(
         "wall_ms": wall_ms,
         **ledger.totals(),
     }
+
+
+def audit_audio(
+    spark: SparkSession,
+    in_path: str,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> dict:
+    """M6 sampled audio audit — the only path that reads ``bytes``.
+
+    Kept separate from the text pipeline on purpose: column pruning keeps
+    the (huge) binary column out of the scoring scan (SURVEY.md §4.2);
+    this pass samples rows, decodes with the engine's numpy codecs, and
+    reports decode health. Returns counters for the ops report."""
+    from ..operators.audio import with_audio_stats
+
+    clips = read_clips(spark, in_path).select("clip_id", "bytes", "codec", "sr_hz")
+    sampled = clips.sample(fraction=sample_fraction, seed=seed)
+    stats = with_audio_stats(sampled).select("clip_id", "audio.*")
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.round(F.avg("rms"), 6).alias("mean_rms"),
+    ).collect()[0]
+    return {
+        "n_sampled": agg["n_sampled"],
+        "n_ok": agg["n_ok"],
+        "n_decode_failures": agg["n_sampled"] - agg["n_ok"],
+        "mean_rms": agg["mean_rms"],
+    }

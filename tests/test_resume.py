@@ -75,3 +75,15 @@ def test_ledger_attempt_increments(tmp_path):
     led.commit(LedgerEntry(part_id=1, status="done", fingerprint="aa"))
     led.commit(LedgerEntry(part_id=1, status="done", fingerprint="bb"))
     assert led.read_one(1).attempt == 2
+
+
+def test_audio_audit_sampled(spark, artifacts, small_clips):
+    """The sampled audit decodes real fixture audio and reports health;
+    the text pipeline itself never touches bytes (plan-shape test)."""
+    from multi_task_offensive_language_detection_spark.plans.pipeline import audit_audio
+
+    _, clips_dir = small_clips
+    rep = audit_audio(spark, clips_dir, sample_fraction=0.3)
+    assert rep["n_sampled"] > 30
+    assert rep["n_decode_failures"] == 0
+    assert 0.0 < rep["mean_rms"] < 1.0
