@@ -1214,3 +1214,16 @@ def agg_percentiles(spark, sf):
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
     )
+
+
+@check("ann_ivf_topk")  # rows-only: IVF probing is recall<1 by design
+def ann_ivf_topk(spark, sf):
+    """IVF ANN — coarse-quantizer lists probed before exact ranking (the
+    scale path when the table is written clustered by list id)."""
+    from .operators.similarity import ivf_topk, train_ivf_centroids
+
+    e = _t(spark, sf, "embeddings")
+    cent = train_ivf_centroids(e, "embedding", n_centroids=8, sample_rows=500)
+    return ivf_topk(e, "embedding", _QUERY_VEC, cent, k=10, n_probe=3).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )

@@ -54,6 +54,78 @@ def lsh_bucket(df: DataFrame, vec_col: str, planes: np.ndarray, out_col: str = "
     return df.withColumn(out_col, bucket_expr(vec_col, planes))
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_rows: int = 2000,
+    iters: int = 10,
+    seed: int = 29,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a driver-side SAMPLE (the
+    standard IVF recipe — the quantizer is tiny and trained once; only
+    assignment is distributed). Deterministic given the seed."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for k in range(n_centroids):
+            pts = sample[assign == k]
+            if len(pts):
+                cent[k] = pts.mean(axis=0)
+    return cent
+
+
+def ivf_assign_expr(vec_col: str, centroids: np.ndarray) -> Column:
+    """argmin-distance centroid id as a native expression (distance via
+    dot products against literal centroid arrays — no UDF). For writing
+    an IVF-clustered table: partition/bucket by this column and ANN scans
+    prune to probed lists."""
+    # argmin ||v - c||² == argmax (v·c - ||c||²/2)
+    best_id = F.lit(0)
+    best_score = dot(F.col(vec_col), _lit_vec(centroids[0])) - float(
+        (centroids[0] ** 2).sum() / 2
+    )
+    for k in range(1, len(centroids)):
+        s = dot(F.col(vec_col), _lit_vec(centroids[k])) - float(
+            (centroids[k] ** 2).sum() / 2
+        )
+        take = s > best_score
+        best_id = F.when(take, F.lit(k)).otherwise(best_id)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_id
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: scan only the ``n_probe`` centroid lists nearest to the
+    query, exact-rank the survivors. With the table written clustered by
+    ivf_assign_expr, the probe filter is partition-prunable."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    cand = df.withColumn("_list", ivf_assign_expr(vec_col, centroids)).filter(
+        F.col("_list").isin(probes)
+    )
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), _lit_vec(query)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,

@@ -83,3 +83,41 @@ def run_available_now(out_df: DataFrame, checkpoint: str, out_path: str):
     )
     q.awaitTermination()
     return q
+
+
+def stream_filter_clips(
+    spark: SparkSession,
+    in_dir: str,
+    out_path: str,
+    checkpoint: str,
+    artifact_dir: str | None = None,
+):
+    """T1 full form: incremental quality-filtering of newly-landed clip
+    files. foreachBatch applies the SAME batch scoring plan per
+    micro-batch (batch/stream parity by construction); availableNow
+    drains what's there and stops, so cron-style invocation == the batch
+    ledger loop with Spark-managed exactly-once file tracking."""
+    from ..artifacts_build import build_all
+    from ..plans.pipeline import OUTPUT_COLS, score_transcripts
+    from ..schema import CLIPS_SCHEMA
+
+    artifacts = build_all(artifact_dir)
+    src = spark.readStream.schema(CLIPS_SCHEMA).parquet(in_dir)
+
+    def process(batch_df, batch_id):
+        scored = score_transcripts(
+            batch_df.select("clip_id", "dur_ms", "transcript", "part_id"),
+            "transcript",
+            artifacts,
+            dur_ms_col="dur_ms",
+        )
+        scored.select(*OUTPUT_COLS).write.mode("append").parquet(out_path)
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -84,3 +84,30 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert approx[0] == brute[0]
     # multiprobe recall on true near-neighbors (cos≈0.98): most recovered
     assert len(set(brute) & set(approx)) >= 6
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    from multi_task_offensive_language_detection_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(17)
+    # 4 well-separated gaussian clusters + a planted neighbor set
+    centers = rng.standard_normal((4, 16)) * 4
+    vecs = np.vstack([centers[i % 4] + rng.standard_normal(16) * 0.3 for i in range(400)]).astype(np.float32)
+    for i in range(1, 10):
+        vecs[i] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    cent = train_ivf_centroids(df, "embedding", n_centroids=8, sample_rows=400)
+    q = [float(x) for x in vecs[0]]
+    brute = [r["vec_id"] for r in brute_force_topk(df, "embedding", q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(df, "embedding", q, cent, k=10, n_probe=3).collect()]
+    assert approx[0] == brute[0] == 0
+    assert len(set(brute) & set(approx)) >= 8  # probed lists hold the cluster

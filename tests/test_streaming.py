@@ -94,3 +94,35 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     jobs.run_available_now(deduped, str(tmp_path / "dckpt"), out)
     got = spark.read.parquet(out)
     assert got.select("k").distinct().count() == 10
+
+
+def test_stream_filter_clips_incremental(spark, artifacts, tmp_path):
+    """New clip files landing between runs are scored exactly once and
+    decisions match the batch pipeline."""
+    import shutil
+
+    from tests.fixtures.clips_gen import write_clips_parquet
+
+    base = tmp_path / "sfc"
+    clips_dir, golden = write_clips_parquet(str(base), n_rows=200)
+    # flatten hive parts into a plain landing dir (file-arrival semantics)
+    land = str(tmp_path / "landing")
+    os.makedirs(land, exist_ok=True)
+    batch1 = spark.read.parquet(clips_dir).withColumn("part_id", F.lit(0))
+    batch1.filter(F.col("clip_id") < "clip_000000000100").write.mode("overwrite").parquet(land)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    jobs.stream_filter_clips(spark, land, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+
+    batch1.filter(F.col("clip_id") >= "clip_000000000100").write.mode("append").parquet(land)
+    jobs.stream_filter_clips(spark, land, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("clip_id").distinct().count() == 200  # exactly-once
+
+    # decisions identical to the batch golden
+    g = spark.read.parquet(golden).select("clip_id", F.col("keep").alias("keep_gold"))
+    j = got.join(g, "clip_id")
+    assert j.filter(F.col("keep") != F.col("keep_gold")).count() == 0
