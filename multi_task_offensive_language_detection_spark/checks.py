@@ -1227,3 +1227,150 @@ def ann_ivf_topk(spark, sf):
     return ivf_topk(e, "embedding", _QUERY_VEC, cent, k=10, n_probe=3).select(
         "vec_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+@check(
+    "str_levenshtein",
+    """
+    SELECT doc_id,
+           levenshtein(substr(text, 1, 12), substr(text, 3, 12)) AS dist
+    FROM documents
+    """,
+)
+def str_levenshtein(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 12), F.expr("substring(text, 3, 12)")).alias(
+            "dist"
+        ),
+    )
+
+
+@check(
+    "map_from_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END AS has_k
+    FROM events
+    """,
+)
+def map_from_json(spark, sf):
+    """F16 — from_json into a MapType + map access (the typed-parse form
+    of json field extraction)."""
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return e.select(
+        "event_id",
+        m.getItem("k").alias("k_val"),
+        F.when(m.getItem("k").isNotNull(), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@check(
+    "date_parts",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS h
+    FROM events
+    """,
+)
+def date_parts(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("h"),
+    )
+
+
+@check(
+    "array_ops",
+    """
+    SELECT vec_id,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+)
+def array_ops(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@check(
+    "win_analytics",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           first_value(c_custkey) OVER w AS top_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_analytics(spark, sf):
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.first("c_custkey").over(w).alias("top_cust"),
+    )
+
+
+@check(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_s
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf):
+    """Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    Catalyst broadcast-joins the filtered customer side."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(8,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )

@@ -1,0 +1,75 @@
+"""Model-property tests (SURVEY.md §5.2.3): perplexity monotonicity under
+token corruption; langid quality on a held-out synthetic corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from multi_task_offensive_language_detection_spark.artifacts_build import (
+    WORDS,
+    build_all,
+)
+from multi_task_offensive_language_detection_spark.operators.langid import LangidModel
+from multi_task_offensive_language_detection_spark.operators.perplexity import NgramLM
+
+
+@pytest.fixture(scope="module")
+def models(artifacts):
+    return LangidModel.load(artifacts["langid"]), NgramLM.load(artifacts["lm"])
+
+
+@given(
+    st.lists(st.sampled_from(WORDS["en"][:200]), min_size=4, max_size=20),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppl_monotone_under_corruption(models, words, data):
+    """Replacing a known token with an out-of-vocabulary pseudo-word never
+    DECREASES perplexity (the quality-gate semantic: corruption can only
+    look worse)."""
+    _, lm = models
+    clean = " ".join(words)
+    idx = data.draw(st.integers(0, len(words) - 1))
+    corrupted = words.copy()
+    corrupted[idx] = "zqvxjkwp"  # guaranteed OOV
+    p_clean = lm.ppl(clean)
+    p_bad = lm.ppl(" ".join(corrupted))
+    assert p_bad >= p_clean * 0.999  # tolerance for float noise
+
+
+def test_ppl_scales_with_corruption_count(models):
+    _, lm = models
+    base = "the people said they would go to the house today and heard music".split()
+    ppls = []
+    for k in range(0, 5):
+        t = base.copy()
+        for j in range(k):
+            t[j * 2] = f"zq{j}vx"
+        ppls.append(lm.ppl(" ".join(t)))
+    assert all(a < b for a, b in zip(ppls, ppls[1:])), ppls
+
+
+def test_langid_holdout_accuracy(models):
+    """Accuracy on freshly-sampled sentences (seed differs from training)
+    must be ~perfect — the gate's false-reject rate budget."""
+    m, _ = models
+    rng = np.random.default_rng(991)
+    texts, gold = [], []
+    for lang, vocab in WORDS.items():
+        v = np.asarray(vocab, dtype=object)
+        for _ in range(200):
+            texts.append(" ".join(rng.choice(v, size=rng.integers(4, 15))))
+            gold.append(lang)
+    res = m.score_batch(pd.Series(texts))
+    acc = float(np.mean(res["lang"].to_numpy() == np.asarray(gold, dtype=object)))
+    assert acc >= 0.995, acc
+
+
+def test_langid_empty_and_whitespace(models):
+    m, _ = models
+    res = m.score_batch(pd.Series(["", "   ", None]))
+    assert list(res["lang"])[0] == "und" or res["conf"][0] == 0.0
