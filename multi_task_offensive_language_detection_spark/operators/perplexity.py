@@ -93,8 +93,16 @@ class NgramLM:
             same_row = rows[:-1] == rows[1:]
             g = combine_hashes(h[:-1], h[1:])
             c2 = self.bi[(g % np.uint64(BI_BUCKETS)).astype(np.int64)].astype(np.float64)
-            prev = c1[:-1]
-            p_bi = np.where(same_row & (c2 > 0) & (prev > 0), c2 / np.maximum(prev, 1), 0.0)
+            prev, cur = c1[:-1], c1[1:]
+            # cur > 0 guard: a bigram containing an unseen word cannot have
+            # been counted — any c2 > 0 there is pure table collision, and
+            # without the guard a collision can REWARD corruption
+            # (property-tested in test_scoring_properties)
+            p_bi = np.where(
+                same_row & (c2 > 0) & (prev > 0) & (cur > 0),
+                c2 / np.maximum(prev, 1),
+                0.0,
+            )
             p[1:] = np.maximum(p[1:], p_bi)
 
         logs = np.log(np.maximum(p, 1e-300))
