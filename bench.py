@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": ..., "value": <total headline sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "clips": {rows, local8_rows_per_s, local32_rows_per_s,
+   "clips": {rows, cores<N>_rows_per_s..., scale_pair,
              scaling_efficiency}}
 
 and rewrites BENCH/BASELINE.md with the N→4N scaling evidence
