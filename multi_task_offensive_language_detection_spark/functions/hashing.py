@@ -43,6 +43,30 @@ def char_ngram_buckets(text: str, n: int, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+def char_ngram_hashes_flat(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Raw uint64 rolling-FNV hashes of all char n-grams of a text batch
+    plus row ids (no bucketing) — the kernel behind flat shingling for
+    MinHash/Jaccard where full hash identity matters."""
+    if not texts:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    blob = "\x00".join(t.replace("\x00", " ") for t in texts)
+    codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(codes) < n:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    n_win = len(codes) - n + 1
+    h = np.full(n_win, _H_INIT, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            h = (h ^ codes[k : k + n_win]) * _H_MULT
+    sep = (codes == 0).astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(sep)))
+    valid = (csum[n:] - csum[:-n]) == 0
+    win_start = np.nonzero(valid)[0]
+    text_starts = np.concatenate(([0], np.nonzero(sep)[0] + 1))
+    row_ids = np.searchsorted(text_starts, win_start, side="right") - 1
+    return h[valid], row_ids
+
+
 def char_ngram_buckets_flat(
     texts: list[str], n: int, n_buckets: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -134,6 +134,83 @@ def hashed_shingles(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
+#: multiplicative-xor family constants for the batched signature
+_MINHASH_A = 0x9E3779B97F4A7C15
+_MINHASH_MASK = (1 << 64) - 1
+
+
+def _flat_shingle_hashes(texts: pd.Series, n: int):
+    """(unique-shingle uint64 hashes sorted by row, row boundary starts,
+    row ids) for a text batch — all numpy, nothing per-shingle crosses the
+    Arrow boundary (transferring shingle ARRAYS costs more than computing
+    them: 300 small strings/row of serde vs one rolling hash)."""
+    from ..functions.hashing import char_ngram_hashes_flat
+
+    tl = [str(t) for t in texts.fillna("")]
+    h, rows = char_ngram_hashes_flat(tl, n)
+    if len(h) == 0:
+        return h, np.empty(0, dtype=np.int64), rows
+    # distinct shingles per row: lexsort by (row, hash), drop adjacent dups
+    order = np.lexsort((h, rows))
+    h, rows = h[order], rows[order]
+    keep = np.concatenate(([True], (h[1:] != h[:-1]) | (rows[1:] != rows[:-1])))
+    return h[keep], rows[keep], len(tl)
+
+
+def minhash64_text_udf(n: int = 5):
+    """text → 64-slot MinHash signature, fully vectorized per Arrow batch
+    (shingling + hashing + per-slot segment-min all in numpy)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            h, rows, n_rows = _flat_shingle_hashes(s, n)
+            out = np.full((len(s), 64), np.iinfo(np.int64).max, dtype=np.int64)
+            if len(h):
+                counts = np.bincount(rows, minlength=n_rows)
+                bounds_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                nonempty = np.nonzero(counts > 0)[0]
+                bounds = bounds_all[nonempty]
+                with np.errstate(over="ignore"):
+                    for j in range(64):
+                        mixed = (
+                            h * np.uint64((_MINHASH_A * (2 * j + 1)) & _MINHASH_MASK)
+                        ) ^ np.uint64((j * 0xC2B2AE3D27D4EB4F) & _MINHASH_MASK)
+                        out[nonempty, j] = np.minimum.reduceat(
+                            mixed.view(np.int64), bounds
+                        )
+            yield pd.Series(list(out))
+
+    return _sig
+
+
+def jaccard_texts_udf(n: int = 5):
+    """(text1, text2) → exact distinct-shingle Jaccard, numpy per batch —
+    the verify kernel for LSH candidates (pairs are few; shingling both
+    sides in numpy beats shipping shingle arrays through Arrow)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _j(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            ha, ra, nr = _flat_shingle_hashes(a, n)
+            hb, rb, _ = _flat_shingle_hashes(b, n)
+            out = np.zeros(len(a), dtype=np.float64)
+            ca = np.bincount(ra, minlength=len(a))
+            cb = np.bincount(rb, minlength=len(a))
+            # per-row set intersection via sorted merge: concat and count dups
+            for i in range(len(a)):
+                if ca[i] == 0 and cb[i] == 0:
+                    continue
+                sa = ha[np.searchsorted(ra, i, "left") : np.searchsorted(ra, i, "right")]
+                sb = hb[np.searchsorted(rb, i, "left") : np.searchsorted(rb, i, "right")]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = ca[i] + cb[i] - inter
+                out[i] = inter / union if union else 0.0
+            yield pd.Series(out)
+
+    return _j
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     key_col: str,
@@ -151,22 +228,20 @@ def minhash_lsh_pairs(
     broadcast-free verify join back to shingles. Every stage is bounded by
     bucket sizes, not table size."""
     rows_per_band = num_hashes // bands
-    base = (
-        df.select(
-            F.col(key_col).alias("k"),
-            char_shingles(F.col(text_col), n).alias("sh"),
+    base = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t"))
+    if num_hashes == 64:
+        # vectorized numpy shingle+signature: only raw texts cross Arrow
+        base = base.withColumn("sig", minhash64_text_udf(n)(F.col("t")))
+    else:
+        base = (
+            base.withColumn("sh", char_shingles(F.col("t"), n))
+            .withColumn("hs", hashed_shingles(F.col("sh")))
+            .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
+            .drop("hs", "sh")
         )
-        # materialize the one-string-hash-pass column so the 32 slot
-        # expressions rehash longs, not strings
-        .withColumn("hs", hashed_shingles(F.col("sh")))
-        .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
-        .drop("hs")
-        # persisted: the banding explode AND both sides of the verify join
-        # re-read this frame — without persist the whole shingle+signature
-        # computation re-runs 4× (at table scale: persist to disk or
-        # checkpoint the signatures table)
-        .persist()
-    )
+    # persisted: the banding explode AND the verify join re-read this
+    # frame (at table scale: persist to disk / checkpoint the signatures)
+    base = base.persist()
 
     banded = base.select(
         "k",
@@ -197,11 +272,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select(F.col("k"), F.col("sh"))
+    txt = base.select(F.col("k"), F.col("t"))
     return (
-        cand.join(sh.withColumnsRenamed({"k": "k1", "sh": "sh1"}), "k1")
-        .join(sh.withColumnsRenamed({"k": "k2", "sh": "sh2"}), "k2")
-        .select("k1", "k2", jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard"))
+        cand.join(txt.withColumnsRenamed({"k": "k1", "t": "t1"}), "k1")
+        .join(txt.withColumnsRenamed({"k": "k2", "t": "t2"}), "k2")
+        .select(
+            "k1", "k2", jaccard_texts_udf(n)(F.col("t1"), F.col("t2")).alias("jaccard")
+        )
         .filter(F.col("jaccard") >= verify_threshold)
     )
 
