@@ -668,7 +668,7 @@ SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
            '(https?://[^ ]+|www\\.[^ ]+)', 'URL', 'g'),
            '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
            '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
-           '(\\+?1[-. ])?(\\(\\d{{3}}\\)[ ]?|\\d{{3}}[-. ])\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+           '(\\+?1[-. ])?(\\(\\d{{3}}\\)[ ]?|\\d{{3}}[-. ])\\d{{3}}[-. ]\\d{{4}}\\b|\\b\\d{{10}}\\b', '<PHONE>', 'g'),
            '@\\w+', '@USER', 'g') AS scrubbed
 FROM documents
 """
@@ -1380,28 +1380,27 @@ def tpch_q3_shipping_priority(spark, sf):
 def scan_clips(spark, sf):
     """S7 — the Iceberg-shaped clips store surface (write → partition
     listing → pruned scan), demonstrated on a small deterministic table
-    generated Spark-side on first call."""
-    import os
+    regenerated per invocation (a cached /tmp table from a previous —
+    possibly different-code — run could mask a writer regression)."""
+    import tempfile
 
-    from .schema import CLIPS_SCHEMA
     from .sources.clips import list_parts, read_clips, write_clips
 
-    path = "/tmp/mtold_scan_clips_demo"
-    if not os.path.isdir(path):
-        df = spark.range(200).select(
-            F.format_string("clip_%012d", F.col("id")).alias("clip_id"),
-            F.lit(None).cast("binary").alias("bytes"),
-            F.lit(16000).cast("int").alias("sr_hz"),
-            (F.lit(1000) + F.pmod(F.col("id") * 37, F.lit(5000)))
-            .cast("int")
-            .alias("dur_ms"),
-            F.lit("pcm_s16le").alias("codec"),
-            F.concat(F.lit("the quiet hill turned gold sample "), F.col("id")).alias(
-                "transcript"
-            ),
-            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("part_id"),
-        )
-        write_clips(df, path)
+    path = tempfile.mkdtemp(prefix="mtold_scan_clips_") + "/clips"
+    df = spark.range(200).select(
+        F.format_string("clip_%012d", F.col("id")).alias("clip_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(16000).cast("int").alias("sr_hz"),
+        (F.lit(1000) + F.pmod(F.col("id") * 37, F.lit(5000)))
+        .cast("int")
+        .alias("dur_ms"),
+        F.lit("pcm_s16le").alias("codec"),
+        F.concat(F.lit("the quiet hill turned gold sample "), F.col("id")).alias(
+            "transcript"
+        ),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("part_id"),
+    )
+    write_clips(df, path)
     parts = list_parts(path)
     assert parts == [0, 1, 2, 3]
     return read_clips(spark, path).select(

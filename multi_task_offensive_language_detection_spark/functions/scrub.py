@@ -21,8 +21,9 @@ EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 URL_RE = r"(?i)(https?://\S+|www\.\S+)"
 IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
-# +1 555-123-4567 | (555) 123-4567 | 555.123.4567 | 5551234567 (10+ digits)
-PHONE_RE = r"(\+?1[-. ])?(\(\d{3}\)[ ]?|\d{3}[-. ])\d{3}[-. ]\d{4}\b"
+# +1 555-123-4567 | (555) 123-4567 | 555.123.4567 | 5551234567 (exactly
+# 10 contiguous digits, \b-guarded so longer digit runs don't half-match)
+PHONE_RE = r"(\+?1[-. ])?(\(\d{3}\)[ ]?|\d{3}[-. ])\d{3}[-. ]\d{4}\b|\b\d{10}\b"
 MENTION_RE = r"@\w+"
 
 

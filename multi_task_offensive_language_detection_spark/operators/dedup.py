@@ -11,10 +11,15 @@ bit-packing, which is a vectorized pandas UDF):
 - MinHash+LSH:  shingle → k minhashes (xxhash64 with k seeds, computed
                 inside native higher-order functions) → banded bucket
                 join → candidate pairs → exact-Jaccard verify.
-                Shuffle cost: one explode + one groupBy on (band, hash) —
-                no O(n²) anywhere, which is what makes it 100 TB-safe.
+                Shuffle cost: one explode + one groupBy on (band, hash);
+                shingle-less texts are excluded and degenerate buckets
+                capped (with stats accounting), so candidate volume is
+                bounded by max_bucket_size — no O(n²) anywhere, which is
+                what makes it 100 TB-safe.
 - SimHash:      64-bit token-hash majority vote (pandas UDF), hamming
-                bucket join on 16-bit chunks.
+                bucket join on (m−h)-chunk combination keys (multi-index
+                pigeonhole — bucket space tunable via num_chunks) with
+                the same bucket cap.
 """
 
 from __future__ import annotations
@@ -53,11 +58,20 @@ def window_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
 
 
 def char_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct char n-grams of a string as array<string> (native HOF)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0))),
-            lambda i: F.substring(col, i, n),
+    """Distinct char n-grams of a string as array<string> (native HOF).
+
+    Texts shorter than ``n`` yield an EMPTY array — the explicit guard
+    matters because ``sequence(1, 0)`` in Spark is the descending
+    ``[1, 0]``, not empty, which would silently give every short text the
+    whole-text pseudo-shingle (and any two empty strings Jaccard 1.0)."""
+    return F.when(
+        F.length(col) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - (n - 1)),
+                lambda i: F.substring(col, i, n),
+            )
         )
     )
 
@@ -78,9 +92,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    allow_unblocked_rows: int = 100_000,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard ≥ threshold. O(n²) per block — ONLY
-    for small blocks / verification; the scale path is minhash_lsh_pairs."""
+    for small blocks / verification; the scale path is minhash_lsh_pairs.
+
+    Guardrail: without ``block_col`` the self-join is a full cartesian, so
+    the unblocked form refuses inputs larger than ``allow_unblocked_rows``
+    (the check is one cheap count; at table scale you must block)."""
+    if block_col is None:
+        n_rows = df.count()
+        if n_rows > allow_unblocked_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs without block_col is O(n^2): got "
+                f"{n_rows} rows > allow_unblocked_rows={allow_unblocked_rows}. "
+                "Pass block_col (or use minhash_lsh_pairs, the scale path)."
+            )
     s = df.select(
         F.col(key_col).alias("k"),
         char_shingles(F.col(text_col), n).alias("sh"),
@@ -211,39 +238,27 @@ def jaccard_texts_udf(n: int = 5):
     return _j
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    key_col: str,
-    text_col: str,
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 8,
-    verify_threshold: float = 0.5,
-) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash LSH, verified with exact
-    shingle Jaccard.
-
-    Plan: narrow minhash projection → explode(bands) [rows ×bands] →
-    groupBy(band, band_hash) self-join within buckets → distinct pairs →
-    broadcast-free verify join back to shingles. Every stage is bounded by
-    bucket sizes, not table size."""
-    rows_per_band = num_hashes // bands
-    base = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t"))
+def _lsh_base(df: DataFrame, key_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
+    """(k, t, sig) projection for the LSH path. Texts with no n-shingles
+    are excluded here — see minhash_lsh_pairs docstring."""
+    base = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t")).filter(
+        F.length(F.col("t")) >= F.lit(n)
+    )
     if num_hashes == 64:
         # vectorized numpy shingle+signature: only raw texts cross Arrow
-        base = base.withColumn("sig", minhash64_text_udf(n)(F.col("t")))
-    else:
-        base = (
-            base.withColumn("sh", char_shingles(F.col("t"), n))
-            .withColumn("hs", hashed_shingles(F.col("sh")))
-            .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
-            .drop("hs", "sh")
-        )
-    # persisted: the banding explode AND the verify join re-read this
-    # frame (at table scale: persist to disk / checkpoint the signatures)
-    base = base.persist()
+        return base.withColumn("sig", minhash64_text_udf(n)(F.col("t")))
+    return (
+        base.withColumn("sh", char_shingles(F.col("t"), n))
+        .withColumn("hs", hashed_shingles(F.col("sh")))
+        .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
+        .drop("hs", "sh")
+    )
 
-    banded = base.select(
+
+def _lsh_banded(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(k, band, bh) banding explode of a signature frame."""
+    rows_per_band = num_hashes // bands
+    return base.select(
         "k",
         F.explode(
             F.array(
@@ -259,6 +274,81 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("k", "bb.band", "bb.bh")
+
+
+def minhash_lsh_bucket_stats(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """No-silent-caps accounting for ``minhash_lsh_pairs``: one row with
+    the number of buckets / banded rows / distinct keys that the bucket
+    cap drops, plus the short-text row count excluded from the LSH path.
+    Run with the same parameters as the pairs call and log the result."""
+    n_short = df.filter(F.length(F.col(text_col)) < F.lit(n)).count()
+    banded = _lsh_banded(_lsh_base(df, key_col, text_col, n, num_hashes), num_hashes, bands)
+    # sizes only — never collect keys per bucket: the over-cap buckets are
+    # exactly the ones where a per-bucket collect would blow executor memory
+    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("sz"))
+    agg = sizes.filter(F.col("sz") > max_bucket_size).agg(
+        F.count(F.lit(1)).alias("dropped_buckets"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("dropped_banded_rows"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("largest_bucket"),
+    )
+    return agg.withColumn("short_text_rows", F.lit(n_short))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard.
+
+    Plan: narrow minhash projection → explode(bands) [rows ×bands] →
+    groupBy(band, band_hash) self-join within buckets → candidate pairs →
+    verify join back to texts. Every stage is bounded by bucket sizes, not
+    table size — which the two scale guards below make actually true:
+
+    - texts with NO n-shingles (length < n) are excluded up front; they
+      would otherwise all share one sentinel signature and form a single
+      O(m²) bucket in every band. Short-text exact duplicates belong to
+      ``exact_dedup``, not LSH (jaccard between empty shingle sets is 0
+      by definition here anyway).
+    - buckets larger than ``max_bucket_size`` are DROPPED before the
+      self-join (one window count over the same (band, bh) key the join
+      shuffles on — no extra shuffle). A degenerate bucket means
+      boilerplate/identical content: exact_dedup catches the identical
+      part, and emitting O(k²) pairs for k≈millions is THE failure mode
+      of banded LSH at 100 TB. This is a recall cap, not a silent one —
+      ``minhash_lsh_bucket_stats`` reports the dropped mass with the same
+      parameters."""
+    base = _lsh_base(df, key_col, text_col, n, num_hashes)
+    # persisted: the banding explode AND the verify join re-read this
+    # frame (at table scale: persist to disk / checkpoint the signatures)
+    base = base.persist()
+
+    banded = _lsh_banded(base, num_hashes, bands)
+
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        bw = W.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
 
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -305,31 +395,81 @@ def simhash64_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series(out)
 
 
-def simhash_pairs(df: DataFrame, key_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming, bucketed by
-    16-bit chunks (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
+def simhash_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_chunks: int | None = None,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via multi-index
+    pigeonhole bucketing.
+
+    With m = ``num_chunks`` bit-chunks and h = ``max_hamming``, a pair
+    differing in ≤ h bits leaves ≥ m−h chunks untouched, so it shares at
+    least one of the C(m, m−h) possible (m−h)-chunk combination keys —
+    we bucket on every combination. m = h+1 is the classic minimal split
+    (4×16-bit for h=3), but its 2^16 bucket space means expected bucket
+    size n/65k — O(n²/65k) candidate pairs past ~10^7 rows. Larger m
+    trades explode factor C(m, m−h) for exponentially tighter buckets:
+    m=6, h=3 ⇒ 20 combos keyed on ~32 bits (space ~4×10^9); m=8 ⇒ 56
+    combos on 40 bits. Pick m so n / 2^(combo bits) stays O(1) at your
+    scale. Recall for hamming ≤ h is exact at ANY m > h (pigeonhole);
+    only the candidate volume changes.
+
+    Degenerate buckets (identical boilerplate ⇒ identical simhash) are
+    additionally capped at ``max_bucket_size`` rows, same rationale and
+    same window-count trick as minhash_lsh_pairs."""
+    if num_chunks is None:
+        num_chunks = max_hamming + 1  # classic minimal split
+    if num_chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs num_chunks > max_hamming (got {num_chunks} <= {max_hamming})"
+        )
+    import itertools
+
+    m = num_chunks
+    bounds = [round(64 * c / m) for c in range(m + 1)]
+
+    def chunk_col(c: int) -> Column:
+        lo, width = bounds[c], bounds[c + 1] - bounds[c]
+        return F.shiftrightunsigned(F.col("sh"), lo).bitwiseAND(F.lit((1 << width) - 1))
+
+    combos = list(itertools.combinations(range(m), m - max_hamming))
     h = df.select(F.col(key_col).alias("k"), simhash64_udf(F.col(text_col)).alias("sh"))
-    chunks = h.select(
+    buckets = h.select(
         "k",
         "sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        F.lit(ci).alias("combo"),
+                        F.xxhash64(*[chunk_col(c) for c in combos[ci]]).alias("bv"),
                     )
-                    for c in range(4)
+                    for ci in range(len(combos))
                 ]
             )
         ).alias("cc"),
-    ).select("k", "sh", "cc.chunk", "cc.cv")
-    l, r = chunks.alias("l"), chunks.alias("r")
+    ).select("k", "sh", "cc.combo", "cc.bv")
+
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        bw = W.partitionBy("combo", "bv")
+        buckets = (
+            buckets.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+
+    l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.cv") == F.col("r.cv"))
+            (F.col("l.combo") == F.col("r.combo"))
+            & (F.col("l.bv") == F.col("r.bv"))
             & (F.col("l.k") < F.col("r.k")),
         )
         .select(

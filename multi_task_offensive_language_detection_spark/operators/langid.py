@@ -107,14 +107,18 @@ class LangidModel:
             # scorer is bandwidth-bound — sampling halves memory traffic
             buckets, rows = buckets[::2], rows[::2]
             gathered = self.logp[n][:, buckets]  # (L, W) float32 — keep it small
-            # segment-sum via reduceat (rows are sorted by construction);
-            # empty segments need a post-fix: reduceat yields g[b] there
+            # segment-sum via reduceat over NONEMPTY rows only (rows are
+            # sorted by construction). Boundaries come from cumsum of the
+            # per-row counts restricted to rows that actually have features
+            # — clamping an end-of-array boundary would instead truncate
+            # the last feature-bearing row whenever a batch ends with
+            # featureless rows, making scores batch-composition-dependent.
             counts = np.bincount(rows, minlength=n_rows)
-            boundaries = np.searchsorted(rows, np.arange(n_rows))
-            boundaries[boundaries == len(rows)] = max(len(rows) - 1, 0)
-            seg = np.add.reduceat(gathered, boundaries, axis=1)
-            seg[:, counts == 0] = 0.0
-            ll += seg
+            nonempty = np.nonzero(counts > 0)[0]
+            if len(nonempty):
+                bounds_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                seg = np.add.reduceat(gathered, bounds_all[nonempty], axis=1)
+                ll[:, nonempty] += seg
             n_feats += counts
         # length-normalized posterior (softmax over mean log-lik, sharpened)
         z = ll / np.maximum(n_feats, 1)[None, :]

@@ -251,7 +251,7 @@ def run_clips_pipeline(
                 n_rule_drop=r["n_rule_drop"] if r else 0,
                 n_toxicity_drop=r["n_toxicity_drop"] if r else 0,
                 n_scrub_edits=r["n_scrub_edits"] if r else 0,
-                wall_ms=wall_ms // max(len(pending), 1),
+                job_wall_ms=wall_ms,
             )
         )
     shutil.rmtree(staging, ignore_errors=True)

@@ -57,7 +57,7 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("n_rule_drop", T.LongType(), False),
         T.StructField("n_toxicity_drop", T.LongType(), False),
         T.StructField("n_scrub_edits", T.LongType(), False),
-        T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("job_wall_ms", T.LongType(), False),
         T.StructField("attempt", T.IntegerType(), False),
     ]
 )

@@ -54,7 +54,7 @@ def part_fingerprint(path: str, part_id: int) -> str:
         if name.startswith(("_", ".")):
             continue
         st = os.stat(os.path.join(d, name))
-        entries.append(f"{name}:{st.st_size}")
+        entries.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
     return f"{hash_bytes_u64('|'.join(entries).encode()):016x}"
 
 

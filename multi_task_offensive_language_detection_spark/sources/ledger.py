@@ -31,7 +31,10 @@ class LedgerEntry:
     n_rule_drop: int = 0
     n_toxicity_drop: int = 0
     n_scrub_edits: int = 0
-    wall_ms: int = 0
+    #: wall-clock ms of the JOB RUN that committed this partition (all
+    #: partitions of one run share it — per-part wall attribution over an
+    #: interleaved salted stage would be fiction, so it is not attempted)
+    job_wall_ms: int = 0
     attempt: int = 1
 
 

@@ -178,6 +178,7 @@ PII_ITEMS = (
     ("support@mail-example.net", "<EMAIL>"),
     ("555-123-4567", "<PHONE>"),
     ("(212) 555-0182", "<PHONE>"),
+    ("5551230199", "<PHONE>"),
     ("123-45-6789", "<SSN>"),
     ("192.168.0.1", "<IP>"),
     ("10.0.0.254", "<IP>"),

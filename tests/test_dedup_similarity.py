@@ -111,3 +111,85 @@ def test_ivf_topk_recall(spark):
     approx = [r["vec_id"] for r in ivf_topk(df, "embedding", q, cent, k=10, n_probe=3).collect()]
     assert approx[0] == brute[0] == 0
     assert len(set(brute) & set(approx)) >= 8  # probed lists hold the cluster
+
+
+def test_char_shingles_short_texts_yield_empty(spark):
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0] — without the
+    # length guard every short text would get a whole-text pseudo-shingle
+    df = spark.createDataFrame([(1, ""), (2, "ab"), (3, "abc")], "k long, t string")
+    out = {
+        r["k"]: r["sh"]
+        for r in df.select("k", dedup.char_shingles(F.col("t"), 3).alias("sh")).collect()
+    }
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["abc"]
+    # two empty texts must NOT score jaccard 1.0
+    pairs = dedup.ngram_jaccard_pairs(
+        spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string"),
+        "doc_id", "text", threshold=0.5,
+    )
+    assert pairs.count() == 0
+
+
+def test_ngram_jaccard_refuses_unblocked_at_scale(docs):
+    with pytest.raises(ValueError, match="block_col"):
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", allow_unblocked_rows=3)
+
+
+def test_lsh_short_texts_excluded_and_buckets_capped(spark, docs):
+    # degenerate corpus: 2k identical texts + 400 shingle-less shorts.
+    # Without the guards this is O(k²) candidate pairs (the 100 TB failure
+    # mode); with them the candidate stage must collapse to zero pairs.
+    rows = [(100 + i, "boilerplate header exactly the same in every single row") for i in range(2000)]
+    rows += [(50_000 + i, "") for i in range(200)]
+    rows += [(60_000 + i, "ab") for i in range(200)]
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.minhash_lsh_pairs(big, "doc_id", "text", max_bucket_size=100).count() == 0
+    stats = dedup.minhash_lsh_bucket_stats(
+        big, "doc_id", "text", max_bucket_size=100
+    ).collect()[0]
+    assert stats["dropped_buckets"] >= 1
+    assert stats["largest_bucket"] == 2000
+    assert stats["short_text_rows"] == 400
+    # ...and the cap must not change results on normal (non-degenerate) data
+    capped = {
+        (r["k1"], r["k2"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.8).collect()
+    }
+    uncapped = {
+        (r["k1"], r["k2"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", verify_threshold=0.8, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_simhash_multiindex_pigeonhole_equivalence(spark):
+    # recall for hamming <= h is EXACT at any num_chunks > h, so the pair
+    # set must be invariant across m — only candidate volume may differ
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base_toks = words * 3
+    rows = [(0, " ".join(base_toks)), (100, " ".join(base_toks))]  # exact dup
+    for i in range(1, 30):
+        toks = list(base_toks)
+        toks[(i * 3) % len(toks)] = words[(i * 7) % 10] + ("x" if i % 3 == 0 else "q")
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {
+        m: {
+            (r["k1"], r["k2"], r["hamming"])
+            for r in dedup.simhash_pairs(
+                df, "doc_id", "text", max_hamming=3, num_chunks=m
+            ).collect()
+        }
+        for m in (4, 6, 8)
+    }
+    assert res[4] == res[6] == res[8]
+    assert (0, 100, 0) in res[4]  # the exact dup is always found
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpora(spark):
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.simhash_pairs(df, "doc_id", "text", max_bucket_size=100).count() == 0

@@ -87,3 +87,34 @@ def test_audio_audit_sampled(spark, artifacts, small_clips):
     assert rep["n_sampled"] > 30
     assert rep["n_decode_failures"] == 0
     assert 0.0 < rep["mean_rms"] < 1.0
+
+
+def test_same_size_content_change_triggers_reprocess(spark, artifacts, small_clips, tmp_path):
+    # the fingerprint covers (name, size, mtime_ns): an in-place rewrite
+    # with identical name AND size must still invalidate the partition
+    base, clips_dir = small_clips
+    in3 = str(tmp_path / "clips3")
+    shutil.copytree(clips_dir, in3)
+    out, led = str(tmp_path / "out3"), str(tmp_path / "ledger3")
+    s1 = run_clips_pipeline(spark, in3, out, led)
+    assert s1["processed_parts"] == 16
+
+    part_dir = os.path.join(in3, "part_id=7")
+    fname = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+    p = os.path.join(part_dir, fname)
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:  # same name, same byte count, new mtime
+        f.write(data)
+    s2 = run_clips_pipeline(spark, in3, out, led)
+    assert s2["processed_parts"] == 1, "same-size rewrite must reprocess"
+
+
+def test_ledger_wall_time_is_job_level(spark, artifacts, small_clips, tmp_path):
+    # per-part wall attribution over one interleaved salted stage would be
+    # fiction; the ledger records the honest job-level wall instead
+    base, clips_dir = small_clips
+    out, led = str(tmp_path / "out4"), str(tmp_path / "ledger4")
+    run_clips_pipeline(spark, clips_dir, out, led)
+    entries = Ledger(led).read_all().values()
+    walls = {e.job_wall_ms for e in entries}
+    assert len(walls) == 1 and walls.pop() > 0

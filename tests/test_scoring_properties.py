@@ -73,3 +73,21 @@ def test_langid_empty_and_whitespace(models):
     m, _ = models
     res = m.score_batch(pd.Series(["", "   ", None]))
     assert list(res["lang"])[0] == "und" or res["conf"][0] == 0.0
+
+
+def test_langid_batch_composition_independence(models):
+    # regression: the reduceat boundary clamp truncated the LAST
+    # feature-bearing row whenever an Arrow batch ended with featureless
+    # rows (empty/short/null texts), making keep/drop depend on batch
+    # neighbors — scores must be exactly identical however rows batch
+    langid, _ = models
+    texts = ["la casa the house el dia", "the people said they would go home"]
+    solo = langid.score_batch(pd.Series(texts))
+    tail = langid.score_batch(pd.Series(texts + ["", "ab", None, ""]))
+    head = langid.score_batch(pd.Series(["", None] + texts + [""]))
+    assert list(solo["lang"]) == list(tail["lang"][:2]) == list(head["lang"][2:4])
+    np.testing.assert_array_equal(solo["conf"].to_numpy(), tail["conf"].to_numpy()[:2])
+    np.testing.assert_array_equal(solo["conf"].to_numpy(), head["conf"].to_numpy()[2:4])
+    for frame in (tail, head):
+        und = frame[frame["lang"] == "und"]
+        assert (und["conf"] == 0.0).all()

@@ -73,3 +73,16 @@ def test_scrub_noop_on_clean_lowercase_prose(s):
     if re.search(_profanity_re(), s):
         return
     assert scrub_py(s) == s
+
+
+def test_phone_contiguous_ten_digits_scrubbed(spark):
+    rows = [
+        (1, "call 5551234567 now"),
+        (2, "order id 12345678901 is longer than a phone"),  # 11 digits: keep
+        (3, "短 123456789 only nine digits"),
+    ]
+    df = spark.createDataFrame(rows, "k long, raw string")
+    out = {r["k"]: r["s"] for r in df.select("k", scrub_all(F.col("raw")).alias("s")).collect()}
+    assert out[1] == "call <PHONE> now"
+    assert "12345678901" in out[2]
+    assert "123456789" in out[3]
