@@ -78,3 +78,31 @@ def test_taxonomy_priority_ind_over_grp(spark):
     )
     r = taxonomy.with_labels(df).collect()[0]
     assert (r["label_a"], r["label_b"], r["label_c"]) == ("OFF", "TIN", "IND")
+
+
+def test_hashtag_segmentation_goldens(spark):
+    from multi_task_offensive_language_detection_spark.operators.hashtag import (
+        _default_vocab,
+        dict_split,
+        segment_hashtags,
+        segment_tag,
+    )
+
+    v = _default_vocab()
+    mx = max(map(len, v))
+    # greedy longest-match over the engine vocabulary
+    assert segment_tag("thepeoplesaid", v, mx) == "the people said"
+    assert segment_tag("GoodMorning", v, mx) == "good morning"
+    assert segment_tag("Spark2024Rocks", v, mx) == "spark 2024 rocks"
+    # unknown chars accrete, never vanish: output reassembles to input
+    for tag in ("qqqzzz", "thexxhouse", "a1b2"):
+        assert "".join(segment_tag(tag, v, mx).split()) == tag.lower()
+    assert dict_split("thehouse", v, mx) == ["the", "house"]
+    df = spark.createDataFrame(
+        [(1, "hello #TheHouse and #thepeoplesaid ok"), (2, "no tags here"), (3, None)],
+        "k long, t string",
+    )
+    out = {r["k"]: r["s"] for r in df.select("k", segment_hashtags(F.col("t")).alias("s")).collect()}
+    assert out[1] == "hello the house and the people said ok"
+    assert out[2] == "no tags here"
+    assert out[3] == ""
