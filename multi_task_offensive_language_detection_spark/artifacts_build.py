@@ -30,7 +30,7 @@ N_SENT_PER_LANG = 5000
 #: bump when a hash kernel / feature definition changes so stale on-disk
 #: artifacts are never loaded (v2: token hashing moved to the vectorized
 #: utf-32 FNV kernel)
-ARTIFACT_VERSION = 4
+ARTIFACT_VERSION = 5  # v5: polynomial token hash kernel (hashing.py)
 
 # Common-word inventories per language (public knowledge; accents kept —
 # they are the strongest char-n-gram signals).

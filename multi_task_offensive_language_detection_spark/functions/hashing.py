@@ -101,36 +101,92 @@ def char_ngram_buckets_flat(
     return buckets, row_ids
 
 
+#: position weights for the polynomial token hash: odd multiplier powers.
+_POLY_P = 0x9E3779B97F4A7C15
+_TOKEN_PREFIX = 16
+_POLY_POW = np.empty(_TOKEN_PREFIX, dtype=np.uint64)
+_p = 1
+for _k in range(_TOKEN_PREFIX):
+    _POLY_POW[_k] = _p
+    _p = (_p * _POLY_P) & 0xFFFFFFFFFFFFFFFF
+_LEN_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
 def token_hash_batch(tokens: list[str] | np.ndarray) -> np.ndarray:
-    """uint64 FNV-1a over utf-32 code units of each token — fully
-    vectorized: one encode of the concatenated batch, then a column-wise
-    rolling hash over a padded (n_tokens × max_len) matrix. This is the
-    hot kernel of the perplexity gate; the per-token Python-loop version
-    it replaced was ~50× slower."""
+    """uint64 position-weighted polynomial hash over utf-32 code units of
+    each token (first 16 chars) — fully vectorized AND single-pass: one
+    encode of the concatenated batch, one weighted segment-sum via
+    ``np.add.reduceat`` over token boundaries, then a scalar avalanche.
+    This is the hot kernel of the perplexity gate; it replaced a 16-round
+    padded-matrix FNV loop (~16× the memory traffic) which itself
+    replaced a per-token Python loop (~50× slower still). Hash values are
+    deterministic per version — artifacts bucketed with it are rebuilt on
+    ARTIFACT_VERSION bumps (artifacts_build.py)."""
+    h, _ = token_hash_batch_ex(tokens, want_pure=False)
+    return h
+
+
+#: ASCII \w test table over utf-32 code units (Java-regex default classes)
+_WORDCHAR = np.zeros(128, dtype=bool)
+for _c in range(128):
+    _WORDCHAR[_c] = chr(_c).isalnum() and ord(chr(_c)) < 128 or _c == 0x5F
+
+
+def token_hash_batch_ex(
+    tokens: list[str] | np.ndarray, want_pure: bool = True
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """(hashes, pure_word_mask) for a token batch.
+
+    ``pure_word_mask[i]`` is True when token i consists entirely of ASCII
+    ``\\w`` chars — i.e. the token IS a maximal word-char run, so lexicon
+    membership by hash equals the ``\\b(word)\\b`` regex semantic without
+    re-tokenizing (operators/scoring.py uses this to share the perplexity
+    gate's token stream). Purity is judged on the full token; hashing uses
+    the first 16 chars (prefix collisions are noise to a count-table LM).
+    """
     n = len(tokens)
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    # hash at most the first 16 chars of a token: bounds the padded-matrix
-    # width (one pathological long token would widen it for the whole
-    # batch) — distinct-prefix collisions are noise to a count-table LM
-    tokens = [t[:16] for t in tokens]
-    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
-    blob = "".join(tokens)
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=bool)
+    full_lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    clipped = [t[:_TOKEN_PREFIX] for t in tokens]
+    lens = np.minimum(full_lens, _TOKEN_PREFIX)
+    blob = "".join(clipped)
     codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
-    ends = np.cumsum(lens)
-    starts = ends - lens
-    maxlen = int(lens.max()) if n else 0
-    idx = starts[:, None] + np.arange(maxlen)[None, :]
-    valid = np.arange(maxlen)[None, :] < lens[:, None]
-    mat = np.where(valid, codes[np.minimum(idx, max(len(codes) - 1, 0))], 0).astype(
-        np.uint64
-    )
-    h = np.full(n, _H_INIT, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    offs = np.arange(len(codes), dtype=np.int64) - np.repeat(starts, lens)
     with np.errstate(over="ignore"):
-        for k in range(maxlen):
-            upd = (h ^ mat[:, k]) * _H_MULT
-            h = np.where(k < lens, upd, h)
-    return h
+        vals = codes.astype(np.uint64) * _POLY_POW[offs]
+        h = np.zeros(n, dtype=np.uint64)
+        nonempty = lens > 0
+        if len(codes):
+            sums = np.add.reduceat(vals, starts[nonempty])
+            h[nonempty] = sums
+        # mix in length + avalanche so short/padded sums disperse
+        h = (h ^ (lens.astype(np.uint64) * _LEN_MIX)) * np.uint64(_H_MULT)
+        h ^= h >> np.uint64(33)
+        h = h * np.uint64(_POLY_P)
+        h ^= h >> np.uint64(29)
+    if not want_pure:
+        return h, None
+    # purity: every char (of the FULL token) is ASCII \w. Chars beyond the
+    # 16-char hash prefix still count against purity, so re-check those
+    # rare long tokens scalar-side.
+    is_w = np.zeros(len(codes), dtype=bool)
+    small = codes < 128
+    is_w[small] = _WORDCHAR[codes[small]]
+    pure = np.ones(n, dtype=bool)
+    if len(codes):
+        impure_counts = np.add.reduceat(
+            (~is_w).astype(np.int64), starts[nonempty]
+        )
+        pure[nonempty] = impure_counts == 0
+    long_toks = np.nonzero(full_lens > _TOKEN_PREFIX)[0]
+    for i in long_toks:
+        t = tokens[i]
+        pure[i] = pure[i] and all(
+            (c.isalnum() and ord(c) < 128) or c == "_" for c in t[_TOKEN_PREFIX:]
+        )
+    return h, pure
 
 
 def combine_hashes(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:

@@ -75,13 +75,16 @@ _LOWER = _UPPER.lower()
 def caps_ratio(col: Column) -> Column:
     """F8 — uppercase letters / all letters of the RAW text (0.0 if none).
 
-    Counted via ``translate`` (a char-map, no regex engine, no rebuilt
-    strings) — ~6× cheaper than the regexp_replace formulation at 1M rows.
-    """
-    n = F.length(col)
-    upper = n - F.length(F.translate(col, _UPPER, ""))
-    lower = n - F.length(F.translate(col, _LOWER, ""))
-    letters = upper + lower
+    Counted with ONE ``translate`` rebuild (total letters) plus a
+    ``regexp_count`` for the uppercase chars only: on normal-register text
+    uppercase hits are few, so the per-match cost of regexp_count stays
+    negligible while the second full-string rebuild of the old
+    two-translate formulation disappears — at 8+ cores the scoring stage
+    is memory-bandwidth-bound and string copies are the dominant native
+    cost. (A pure regexp_count version is WORSE: [a-z] fires a
+    Matcher.find() per letter.)"""
+    upper = F.regexp_count(col, F.lit("[A-Z]"))
+    letters = F.length(col) - F.length(F.translate(col, _UPPER + _LOWER, ""))
     return F.when(letters == 0, F.lit(0.0)).otherwise(
         upper.cast("double") / letters.cast("double")
     )

@@ -1,15 +1,21 @@
 """Multimodal binary-column plumbing (image/video counterparts of audio).
 
-Payloads are opaque ``binary`` columns with typed metadata, processed by
-``mapInPandas`` in Arrow batches. The audio path (operators/audio.py) is
-fully real; image/video DECODE is stubbed (libs absent in this container)
-behind deterministic fakes — but the Spark-side plumbing (schemas, batch
-shapes, partition behavior) is real and tested.
+Payloads are opaque ``binary`` columns with typed metadata, processed in
+Arrow batches. The audio path (operators/audio.py) and the IMAGE decode
+path (codecs.py: from-scratch numpy BMP + PPM/PGM parsers) are fully
+real; only video container DEMUX remains a clearly-marked stub (no
+ffmpeg in this container) with real batch/explode semantics.
 """
 
 from .binary_ops import (  # noqa: F401
     IMAGE_META_SCHEMA,
-    decode_image_stub,
     frame_sample_stub,
     with_image_features,
+)
+from .codecs import (  # noqa: F401
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
 )

@@ -1,10 +1,8 @@
-"""Image/video binary-column operators — REAL Spark plumbing, STUBBED codecs.
-
-The decode kernels raise/fake deterministically because no image/audio
-libs ship in this container (the audio codec in operators/audio.py is the
-fully-real template these follow). Swapping a stub for a real decoder
-changes ONLY the marked inner function — schema, batching, and
-partitioning stay as tested.
+"""Image/video binary-column operators — REAL Spark plumbing, REAL image
+codecs (multimodal/codecs.py: from-scratch numpy BMP + PPM/PGM parsers,
+built the way operators/audio.py built its WAV/µ-law codec). Only the
+video frame DEMUXER below remains a clearly-marked stub (no container
+demux without ffmpeg); its batch shape and explode semantics are real.
 """
 
 from __future__ import annotations
@@ -17,8 +15,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .codecs import decode_image
+
 IMAGE_META_SCHEMA = T.StructType(
     [
+        T.StructField("ok", T.BooleanType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
@@ -27,38 +28,32 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def decode_image_stub(data: bytes | None) -> np.ndarray:
-    """STUB — deterministic fake decode: byte histogram → 8×8×1 'image'.
-
-    Real implementation would be e.g. ``PIL.Image.open(io.BytesIO(data))``;
-    raise instead of faking if strictness is preferred::
-
-        raise NotImplementedError("image codec libs absent in this container")
-    """
-    if not data:
-        return np.zeros((8, 8, 1), dtype=np.uint8)
-    arr = np.frombuffer(data[:64].ljust(64, b"\0"), dtype=np.uint8)
-    return arr.reshape(8, 8, 1)
-
-
 def with_image_features(df: DataFrame, bytes_col: str = "bytes", out_col: str = "image_meta") -> DataFrame:
-    """mapInPandas-shaped feature extraction over a binary column —
-    Arrow-batched, artifact-free, schema-typed."""
+    """Arrow-batched feature extraction over a binary column: decodes each
+    payload with the from-scratch BMP/PPM codec and emits typed metadata.
+    Undecodable payloads yield ok=false rows instead of failing the task
+    (decode health is aggregated by the audit path, mirroring
+    plans/pipeline.audit_audio)."""
 
     @F.pandas_udf(IMAGE_META_SCHEMA)
     def _features(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in it:
             n = len(s)
+            ok = np.zeros(n, dtype=bool)
             w = np.zeros(n, dtype=np.int32)
             h = np.zeros(n, dtype=np.int32)
             c = np.zeros(n, dtype=np.int32)
             m = np.zeros(n, dtype=np.float64)
             for i in range(n):
-                img = decode_image_stub(s.iloc[i])
+                try:
+                    img = decode_image(s.iloc[i])
+                except (ValueError, TypeError):
+                    continue
+                ok[i] = True
                 h[i], w[i], c[i] = img.shape
                 m[i] = float(img.mean())
             yield pd.DataFrame(
-                {"width": w, "height": h, "channels": c, "mean_intensity": m}
+                {"ok": ok, "width": w, "height": h, "channels": c, "mean_intensity": m}
             )
 
     return df.withColumn(out_col, _features(F.col(bytes_col)))

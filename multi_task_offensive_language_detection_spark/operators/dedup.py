@@ -255,6 +255,21 @@ def _lsh_base(df: DataFrame, key_col: str, text_col: str, n: int, num_hashes: in
     )
 
 
+def _drop_oversized_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove rows whose (keys) group exceeds ``cap`` rows, via
+    count-aggregate → broadcast anti-join. The aggregate is map-side
+    partial (small (keys, count) shuffle); the oversized-group list is
+    tiny by construction, so the anti-join broadcasts and the data rows
+    are never sorted or re-shuffled for the cap itself."""
+    over = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > cap)
+        .drop("_bsz")
+    )
+    return df.join(F.broadcast(over), keys, "left_anti")
+
+
 def _lsh_banded(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(k, band, bh) banding explode of a signature frame."""
     rows_per_band = num_hashes // bands
@@ -326,13 +341,15 @@ def minhash_lsh_pairs(
       ``exact_dedup``, not LSH (jaccard between empty shingle sets is 0
       by definition here anyway).
     - buckets larger than ``max_bucket_size`` are DROPPED before the
-      self-join (one window count over the same (band, bh) key the join
-      shuffles on — no extra shuffle). A degenerate bucket means
-      boilerplate/identical content: exact_dedup catches the identical
-      part, and emitting O(k²) pairs for k≈millions is THE failure mode
-      of banded LSH at 100 TB. This is a recall cap, not a silent one —
-      ``minhash_lsh_bucket_stats`` reports the dropped mass with the same
-      parameters."""
+      self-join: a map-side-partial count of (band, bh) finds the
+      oversized buckets (a tiny set by definition — only degenerate
+      content produces them) which is then BROADCAST anti-joined against
+      the banded rows, so the cap costs no extra sort or full-row
+      shuffle. A degenerate bucket means boilerplate/identical content:
+      exact_dedup catches the identical part, and emitting O(k²) pairs
+      for k≈millions is THE failure mode of banded LSH at 100 TB. This
+      is a recall cap, not a silent one — ``minhash_lsh_bucket_stats``
+      reports the dropped mass with the same parameters."""
     base = _lsh_base(df, key_col, text_col, n, num_hashes)
     # persisted: the banding explode AND the verify join re-read this
     # frame (at table scale: persist to disk / checkpoint the signatures)
@@ -341,13 +358,8 @@ def minhash_lsh_pairs(
     banded = _lsh_banded(base, num_hashes, bands)
 
     if max_bucket_size is not None:
-        from pyspark.sql import Window as W
-
-        bw = W.partitionBy("band", "bh")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        banded = _drop_oversized_buckets(
+            banded, ["band", "bh"], max_bucket_size
         )
 
     l, r = banded.alias("l"), banded.alias("r")
@@ -455,14 +467,7 @@ def simhash_pairs(
     ).select("k", "sh", "cc.combo", "cc.bv")
 
     if max_bucket_size is not None:
-        from pyspark.sql import Window as W
-
-        bw = W.partitionBy("combo", "bv")
-        buckets = (
-            buckets.withColumn("_bsz", F.count(F.lit(1)).over(bw))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        buckets = _drop_oversized_buckets(buckets, ["combo", "bv"], max_bucket_size)
 
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (

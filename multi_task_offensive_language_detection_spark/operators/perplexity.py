@@ -72,20 +72,44 @@ class NgramLM:
         return float(self.ppl_batch(pd.Series([text])).iloc[0])
 
     def ppl_batch(self, texts: pd.Series) -> pd.Series:
+        ppl, _, _ = self.ppl_stats_batch(texts)
+        return pd.Series(ppl, index=texts.index)
+
+    def ppl_stats_batch(self, texts: pd.Series, return_stream: bool = False):
         """Batch Stupid-Backoff perplexity — one vectorized hash pass over
         the flattened token stream of the whole Arrow batch, per-row
-        reduction via bincount. No Python loop beyond tokenization."""
-        from ..functions.hashing import combine_hashes, token_hash_batch
+        reduction via bincount. No Python loop beyond tokenization.
+
+        Returns ``(ppl, n_tokens, rep_tok_ratio)`` ndarrays: the token
+        stream is already flattened and hashed for scoring, so the
+        whitespace-token count and the token-repeat ratio
+        (1 − distinct/total, distinct by token hash — 16-char-prefix
+        exact, see token_hash_batch) fall out of the same pass. The
+        pipeline reads them from here instead of paying a second JVM
+        split + array_distinct over the same strings.
+
+        With ``return_stream`` a 4th element ``(flat_tokens, hashes,
+        row_ids, pure_word_mask)`` is returned so downstream lexicon
+        matching (operators/scoring.py) reuses this tokenization+hash
+        pass instead of paying its own."""
+        from ..functions.hashing import combine_hashes, token_hash_batch_ex
 
         tok_lists = [str(t).lower().split() for t in texts.fillna("")]
         n_rows = len(tok_lists)
         n_tok = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_rows)
         flat: list[str] = [t for toks in tok_lists for t in toks]
         if not flat:
-            return pd.Series(np.full(n_rows, np.inf), index=texts.index)
+            empty = (
+                np.full(n_rows, np.inf),
+                n_tok,
+                np.zeros(n_rows, dtype=np.float64),
+            )
+            if return_stream:
+                return (*empty, (flat, np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, bool)))
+            return empty
         rows = np.repeat(np.arange(n_rows), n_tok)
 
-        h = token_hash_batch(flat)
+        h, pure = token_hash_batch_ex(flat, want_pure=return_stream)
         c1 = self.uni[(h % np.uint64(UNI_BUCKETS)).astype(np.int64)].astype(np.float64)
         p = np.where(c1 > 0, BACKOFF * c1 / self.total, BACKOFF * P_UNK)
 
@@ -110,7 +134,18 @@ class NgramLM:
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.exp(-sums / np.maximum(n_tok, 1))
         out[n_tok == 0] = np.inf
-        return pd.Series(out, index=texts.index)
+
+        # distinct tokens per row from the sorted (row, hash) stream
+        order = np.lexsort((h, rows))
+        hs, rs = h[order], rows[order]
+        first = np.concatenate(([True], (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])))
+        uniq = np.bincount(rs[first], minlength=n_rows)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rep = 1.0 - uniq / n_tok
+        rep[n_tok == 0] = 0.0
+        if return_stream:
+            return out, n_tok, rep, (flat, h, rows, pure)
+        return out, n_tok, rep
 
 
 # --- Spark surface ---------------------------------------------------------

@@ -62,16 +62,28 @@ def label_c(b: Column, sig: dict[str, Column]) -> Column:
 
 
 def with_labels(
-    df: DataFrame, norm_col: str = "norm_text", profane: Column | None = None
+    df: DataFrame,
+    norm_col: str = "norm_text",
+    profane: Column | None = None,
+    second_person: Column | None = None,
+    group: Column | None = None,
+    entity: Column | None = None,
 ) -> DataFrame:
     """Attach label_a/label_b/label_c preserving the hierarchy invariant.
 
-    ``profane`` lets the caller reuse an already-computed profanity signal
-    (the pipeline has profanity_hits anyway — recomputing the 50-word
-    alternation scan here would double that cost)."""
+    The optional columns let the caller reuse already-computed signals:
+    the pipeline gets all four from the fused Arrow scoring stage
+    (operators/scoring.py sig bitmask), so no JVM alternation scan runs
+    here at all; standalone callers fall back to the regex signals."""
     sig = signals(F.col(norm_col))
-    if profane is not None:
-        sig["profane"] = profane
+    for name, override in (
+        ("profane", profane),
+        ("second_person", second_person),
+        ("group", group),
+        ("entity", entity),
+    ):
+        if override is not None:
+            sig[name] = override
     a = label_a(sig)
     b = label_b(a, sig)
     c = label_c(b, sig)

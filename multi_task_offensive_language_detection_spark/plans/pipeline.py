@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..artifacts_build import build_all
 from ..functions import text as FT
 from ..functions.scrub import scrub_edit_count, scrub_pii, scrub_profanity
-from ..lexicons import PROFANITY, THRESHOLDS
+from ..lexicons import THRESHOLDS
 from ..operators import taxonomy
 from ..operators.rules import drop_reason, keep_from_reason
 from ..sources.clips import list_parts, part_fingerprint, prune_to_parts, read_clips
@@ -75,34 +75,58 @@ def score_transcripts(
     artifacts = artifacts or build_all()
     raw = F.col(text_col)
 
-    # -- fused native projection #1: normalization + scores ----------------
+    # -- fused native projection #1: normalization + char scores -----------
     # norm_text: lowercase → PII masked (emails BEFORE mentions) → ws-collapse.
     # Profanity is retained here — the taxonomy head needs it.
     # ONE pass of the PII chain (case-insensitive, on the raw text), reused
     # by both the case-preserving output scrub and the lowercased scoring
-    # text — the regex battery is the pipeline's dominant JVM cost, so
-    # every duplicated pass matters (measured: ~66µs/row/core).
+    # text — JVM string rebuilds are the pipeline's dominant native cost,
+    # so every duplicated pass matters (measured: ~66µs/row/core).
     df = df.withColumn("_pii_scrubbed", scrub_pii(raw))
     df = df.withColumn(
         "norm_text", FT.normalize_ws(FT.lower_guarded(F.col("_pii_scrubbed")))
-    ).withColumn("_toks", FT.tokens_of_normalized(F.col("norm_text")))
-    ntext, toks = F.col("norm_text"), F.col("_toks")
+    )
     df = df.withColumns(
         {
             "caps_ratio": FT.caps_ratio(raw),
             "rep_char_run": FT.has_char_run(raw, t["rep_char_run_max"]),
             "rep_char_ratio": FT.rep_char_ratio(raw),
-            # one shared split feeds all token metrics (a regex split per
-            # metric tripled the native-stage cost at 1M rows)
-            "rep_tok_ratio": FT.rep_tok_ratio_from(toks, ntext),
             "n_chars": F.length(raw),
-            "n_tokens": FT.token_count_from(toks, ntext),
-            "profanity_hits": FT.word_hits(ntext, PROFANITY),
-            # perplexity scores norm_text directly: profanity words and the
-            # lowercased placeholders are all in the LM vocabulary, so no
-            # separately masked column is needed
         }
     )
+
+    # -- single ArrowEvalPython stage: langid + ppl + token metrics +
+    # lexicon signals folded into ONE iterator UDF (iter-type UDFs can't be
+    # fused by Catalyst, so separate UDFs would mean separate Arrow
+    # round-trips — see scoring.py). Token counts, the repeat ratio,
+    # profanity hits and the three taxonomy targeting signals all ride the
+    # token stream the LM hashes anyway — moving them here removed four
+    # \b-alternation NFA scans and a split+array_distinct pass from the
+    # JVM stage (the 2→8-core scaling bottleneck is memory bandwidth, and
+    # those scans were pure per-row byte traffic).
+    from ..operators.scoring import (
+        SIG_ENTITY,
+        SIG_GROUP,
+        SIG_SECOND_PERSON,
+        combined_scores_udf,
+    )
+
+    df = df.withColumn(
+        "pyscores",
+        combined_scores_udf(artifacts["langid"], artifacts["lm"])(
+            F.col("norm_text")
+        ),
+    ).withColumns(
+        {
+            "langid_lang": F.col("pyscores.lang"),
+            "langid_conf": F.col("pyscores.conf"),
+            "ppl": F.col("pyscores.ppl"),
+            "n_tokens": F.col("pyscores.n_tokens"),
+            "rep_tok_ratio": F.col("pyscores.rep_tok_ratio"),
+            "profanity_hits": F.col("pyscores.prof_hits"),
+        }
+    )
+
     # the emitted scrub preserves the raw casing/spacing so clean kept rows
     # satisfy scrubbed == transcript (BASELINE.json:15); PII already masked,
     # only profanity left — guarded by the hit count so clean rows skip the
@@ -121,26 +145,19 @@ def score_transcripts(
         ).otherwise(F.lit(0)),
     )
 
-    # -- single ArrowEvalPython stage: langid + ppl folded into ONE
-    # iterator UDF (iter-type UDFs can't be fused by Catalyst, so two
-    # separate UDFs would mean two Arrow round-trips — see scoring.py)
-    from ..operators.scoring import combined_scores_udf
-
-    df = df.withColumn(
-        "pyscores",
-        combined_scores_udf(artifacts["langid"], artifacts["lm"])(
-            F.col("norm_text")
-        ),
-    ).withColumns(
-        {
-            "langid_lang": F.col("pyscores.lang"),
-            "langid_conf": F.col("pyscores.conf"),
-            "ppl": F.col("pyscores.ppl"),
-        }
-    )
-
     # -- decision: taxonomy + gates -----------------------------------------
-    df = taxonomy.with_labels(df, "norm_text", profane=F.col("profanity_hits") > 0)
+    sig = F.col("pyscores.sig")
+    df = taxonomy.with_labels(
+        df,
+        "norm_text",
+        profane=F.col("profanity_hits") > 0,
+        # @USER placeholders survive as a plain substring check (cheap JVM
+        # scan, no regex); the word-level signal comes from the UDF bitmask
+        second_person=(sig.bitwiseAND(F.lit(SIG_SECOND_PERSON)) > 0)
+        | F.col("norm_text").contains("@user"),
+        group=sig.bitwiseAND(F.lit(SIG_GROUP)) > 0,
+        entity=sig.bitwiseAND(F.lit(SIG_ENTITY)) > 0,
+    )
     reason = drop_reason(
         langid_lang=F.col("langid_lang"),
         ppl=F.col("ppl"),
