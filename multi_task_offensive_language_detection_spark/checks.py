@@ -908,6 +908,49 @@ def dedup_simhash(spark, sf):
     return dedup.simhash_pairs(_docs_with_mutants(spark, sf), "doc_id", "text")
 
 
+_EMB_NEARDUP_SQL = """
+WITH base AS (
+  SELECT vec_id AS k, embedding AS v, vec_id % 50 AS blk FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)),
+         vec_id % 50
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.k AS k1, b.k AS k2,
+         list_sum(list_transform(list_zip(a.v, b.v),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cos
+  FROM base a JOIN base b ON a.blk = b.blk AND a.k < b.k
+)
+SELECT k1, k2, round(cos, 4) AS cosine FROM pairs WHERE cos >= 0.9
+"""
+
+
+@check("dedup_embedding_cosine", _EMB_NEARDUP_SQL)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup via blocked exact cosine: planted near-dups are
+    1.5-scaled copies (cosine exactly 1 up to float noise, far from the
+    0.9 threshold; random 64-dim gaussian pairs sit ≪0.9, so no boundary
+    flips cross engines). Blocking = vec_id mod 50 — the shape of the
+    LSH-bucket-then-verify scale path with a deterministic block."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    scale = F.lit(1.5).cast("float")
+    mut = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * scale).alias("embedding"),
+    )
+    base = e.unionByName(mut).withColumn(
+        "blk", F.pmod(F.col("vec_id") % 1000000, F.lit(50))
+    )
+    return dedup.embedding_neardup_pairs(
+        base, "vec_id", "embedding", threshold=0.9, block_col="blk"
+    ).select("k1", "k2", F.round("cosine", 4).alias("cosine"))
+
+
 @check("dedup_exact_docs", "SELECT text, min(doc_id) AS doc_id FROM "
        "(SELECT doc_id, text FROM documents UNION ALL "
        "SELECT doc_id + 1000000, text FROM documents) GROUP BY text")
@@ -1581,9 +1624,9 @@ _PRIORITY: tuple[str, ...] = (
     "win_analytics",
     "scan_clips",
     "str_hashtag_segment",
+    "dedup_embedding_cosine",
     # r01-green keys that keep a slot in the first-50 window (one per
     # operator family, highest-value representatives)
-    "scan_documents",
     "filter_length",
     "filter_hierarchy",
     "dedup_text",

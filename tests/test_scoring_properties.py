@@ -91,3 +91,39 @@ def test_langid_batch_composition_independence(models):
     for frame in (tail, head):
         und = frame[frame["lang"] == "und"]
         assert (und["conf"] == 0.0).all()
+
+
+def test_ppl_stats_stream_edge_cases(models):
+    _, lm = models
+    # empty batch
+    ppl, n_tok, rep, stream = lm.ppl_stats_batch(pd.Series([], dtype=object), return_stream=True)
+    assert len(ppl) == 0 and len(n_tok) == 0 and len(rep) == 0
+    flat, h, rows, pure = stream
+    assert flat == [] and len(h) == 0
+    # all-featureless batch
+    ppl, n_tok, rep, stream = lm.ppl_stats_batch(pd.Series(["", None, "   "]), return_stream=True)
+    assert np.isinf(ppl).all()
+    assert list(n_tok) == [0, 0, 0] and list(rep) == [0.0, 0.0, 0.0]
+    # n_tokens/rep agree with direct computation
+    texts = pd.Series(["the the the", "a b c d", "x", ""])
+    _, n_tok, rep, _ = lm.ppl_stats_batch(texts, return_stream=True)
+    assert list(n_tok) == [3, 4, 1, 0]
+    assert abs(rep[0] - (1 - 1 / 3)) < 1e-12 and rep[1] == 0.0 and rep[2] == 0.0
+
+
+def test_lexicon_stream_equals_standalone_on_punctuated_batch(models):
+    from multi_task_offensive_language_detection_spark.operators.scoring import (
+        LexiconSignals,
+    )
+
+    _, lm = models
+    lex = LexiconSignals()
+    texts = [
+        "damn, you idiots!!", "(scum)", "plain clean text", "",
+        "trash...garbage", "you're a moron", "@user people here",
+    ]
+    p_ref, s_ref = lex.score(texts)
+    _, _, _, stream = lm.ppl_stats_batch(pd.Series(texts), return_stream=True)
+    p_st, s_st = lex.score_stream(len(texts), *stream)
+    assert list(p_ref) == list(p_st)
+    assert list(s_ref) == list(s_st)
