@@ -46,6 +46,11 @@ class LangidModel:
     def __init__(self, langs: list[str], logp: dict[int, np.ndarray], prior: np.ndarray):
         self.langs = langs
         self.logp = logp
+        # bucket-major copy for scoring: gathering rows of a (buckets, L)
+        # table is contiguous (L floats per bucket); gathering columns of
+        # the (L, buckets) artifact layout strides N_BUCKETS·4 bytes per
+        # element — ~2× slower on the batch-scoring hot path
+        self.logp_t = {n: np.ascontiguousarray(m.T) for n, m in logp.items()}
         self.prior = prior
 
     @classmethod
@@ -106,7 +111,7 @@ class LangidModel:
             # than the decision needs (confidences sit at ~1.0) and the
             # scorer is bandwidth-bound — sampling halves memory traffic
             buckets, rows = buckets[::2], rows[::2]
-            gathered = self.logp[n][:, buckets]  # (L, W) float32 — keep it small
+            gathered = self.logp_t[n][buckets]  # (W, L) float32, contiguous rows
             # segment-sum via reduceat over NONEMPTY rows only (rows are
             # sorted by construction). Boundaries come from cumsum of the
             # per-row counts restricted to rows that actually have features
@@ -117,8 +122,8 @@ class LangidModel:
             nonempty = np.nonzero(counts > 0)[0]
             if len(nonempty):
                 bounds_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
-                seg = np.add.reduceat(gathered, bounds_all[nonempty], axis=1)
-                ll[:, nonempty] += seg
+                seg = np.add.reduceat(gathered, bounds_all[nonempty], axis=0)
+                ll[:, nonempty] += seg.T
             n_feats += counts
         # length-normalized posterior (softmax over mean log-lik, sharpened)
         z = ll / np.maximum(n_feats, 1)[None, :]

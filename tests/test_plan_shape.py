@@ -88,3 +88,22 @@ def test_topk_does_not_full_sort(spark):
 
     df = QUERIES["sort_by_key"](spark, "/root/testdata/sf0.001")
     assert "TakeOrderedAndProject" in _formatted_plan(df, spark)
+
+
+def test_lsh_cap_is_broadcast_anti_no_cartesian(spark):
+    """The bucket cap must stay a broadcast anti-join (tiny oversized-
+    bucket list), never a sort-based window or a cartesian product."""
+    from multi_task_offensive_language_detection_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} with enough shingle length") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _formatted_plan(dedup.minhash_lsh_pairs(df, "doc_id", "text"), spark)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
+    assert "Window" not in plan  # the cap must not sort the banded frame
+    plan2 = _formatted_plan(dedup.simhash_pairs(df, "doc_id", "text"), spark)
+    assert "CartesianProduct" not in plan2
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan2)
