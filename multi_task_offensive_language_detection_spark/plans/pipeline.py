@@ -4,10 +4,13 @@ Plan shape (deliberate — see §4 of SURVEY.md):
 
     scan (partition-pruned to pending parts, column-pruned: never 'bytes')
       → salted repartition                       [the ONLY wide stage]
-      → one fused native projection: normalize + PII scrub + heuristic
-        scores + taxonomy labels                  [WholeStageCodegen]
-      → one fused ArrowEvalPython stage: langid + perplexity UDFs
-      → keep/drop when-chain                      [narrow]
+      → fused native projection: PII scrub + normalize + char scores
+                                                  [WholeStageCodegen]
+      → ONE fused ArrowEvalPython stage: langid + perplexity + token
+        metrics + profanity/taxonomy lexicon signals, all riding a
+        single tokenize+hash pass                 [one Arrow boundary]
+      → fused native projection: scrub output + labels + keep/drop
+        when-chain                                [narrow]
       → partitioned write + per-part atomic commit + ledger
 
 The scoring path is shuffle-free after the salt; counters are computed by
