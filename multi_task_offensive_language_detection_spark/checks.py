@@ -1282,6 +1282,97 @@ def tpch_q1_pricing_summary(spark, sf):
 
 
 @check(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: the 6-table star-join cascade. Dimension chain
+    region→nation→supplier broadcasts (pruned BEFORE the fact joins so
+    the ASIA filter cuts the build side, not the probe); fact side
+    lineitem⋈orders shuffles on orderkey; the customer join carries the
+    c_nationkey = s_nationkey same-nation condition. Decimal accumulation
+    for engine-independent sums."""
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf, "customer")
+    li = _t(spark, sf, "lineitem")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(8,4)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@check(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS DOUBLE) BETWEEN CAST(0.049 AS DOUBLE)
+                                         AND CAST(0.071 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: pure filter→agg, every predicate pushed to the
+    parquet scan (float discount compared in DOUBLE on both engines so
+    the BETWEEN boundaries can't flip cross-engine)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").cast("double").between(0.049, 0.071)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(8,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@check(
     "agg_pivot_confusion",
     f"""
     SELECT gold,
@@ -1602,6 +1693,8 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_documents_rules",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "stream_tumbling",
     "stream_session",
     "dedup_minhash_lsh",
@@ -1627,11 +1720,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     # r01-green keys that keep a slot in the first-50 window (one per
     # operator family, highest-value representatives)
-    "filter_length",
     "filter_hierarchy",
     "dedup_text",
     "win_dedup_rownum",
-    "union_by_name",
     "set_except",
     "join_broadcast_inner",
     "join_then_agg",

@@ -107,3 +107,20 @@ def test_lsh_cap_is_broadcast_anti_no_cartesian(spark):
     plan2 = _formatted_plan(dedup.simhash_pairs(df, "doc_id", "text"), spark)
     assert "CartesianProduct" not in plan2
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan2)
+
+
+def test_tpch_q5_q6_pushdown_no_cartesian(spark):
+    from multi_task_offensive_language_detection_spark.checks import QUERIES
+
+    p5 = _formatted_plan(
+        QUERIES["tpch_q5_local_supplier_volume"](spark, "/root/testdata/sf0.001"), spark
+    )
+    assert "CartesianProduct" not in p5
+    assert "BroadcastHashJoin" in p5
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", p5)
+    p6 = _formatted_plan(
+        QUERIES["tpch_q6_forecast_revenue"](spark, "/root/testdata/sf0.001"), spark
+    )
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", p6)
+    m = re.search(r"ReadSchema: (\S+)", p6)
+    assert m and "l_orderkey" not in m.group(1)  # column pruning on the scan
