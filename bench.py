@@ -161,7 +161,7 @@ def _one_scale_run(clips_path: str, cores: int, slots: int | None = None) -> dic
 
 
 def run_scaling(clips_path: str) -> dict:
-    """Pair configs run as 3 INTERLEAVED (N, 4N) trials — adjacent in
+    """Pair configs run as 2 INTERLEAVED (N, 4N) trials — adjacent in
     time so both ends of each trial share host conditions (this shared
     VM drifts by tens of percent across ~10-minute epochs). Efficiency
     uses min wall on BOTH sides over the trials: noise only ever ADDS
@@ -174,7 +174,7 @@ def run_scaling(clips_path: str) -> dict:
     pair_walls = {n: [], n4: []}
     ratios = []
     n_in = 0
-    for _ in range(3):
+    for _ in range(2):
         w1 = _one_scale_run(clips_path, n)["wall_s"]
         r4 = _one_scale_run(clips_path, n4)
         pair_walls[n].append(w1)

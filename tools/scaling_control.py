@@ -22,7 +22,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ROWS_PER_PROC = 200_000
+ROWS_PER_PROC = 100_000
 BATCH = 10_000
 
 
