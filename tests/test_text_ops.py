@@ -106,3 +106,25 @@ def test_hashtag_segmentation_goldens(spark):
     assert out[1] == "hello the house and the people said ok"
     assert out[2] == "no tags here"
     assert out[3] == ""
+
+
+def test_hashtag_segmentation_lossless_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from multi_task_offensive_language_detection_spark.operators.hashtag import (
+        _default_vocab,
+        segment_tag,
+    )
+
+    v = _default_vocab()
+    mx = max(map(len, v))
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789", min_size=1, max_size=24))
+    @settings(max_examples=200, deadline=None)
+    def check(tag):
+        out = segment_tag(tag, v, mx)
+        # segmentation never invents or drops characters
+        assert "".join(out.split()) == tag.lower()
+
+    check()
