@@ -500,11 +500,25 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     block_col: str | None = None,
+    allow_unblocked_rows: int = 100_000,
 ) -> DataFrame:
     """Cosine ≥ threshold pairs. Brute force within blocks (exact); for
-    table-scale use similarity.lsh_bucket first and feed buckets here."""
+    table-scale use similarity.lsh_bucket first and feed buckets here.
+
+    Guardrail (mirrors ngram_jaccard_pairs): without ``block_col`` the
+    ``a.k < b.k`` self-join is a BroadcastNestedLoop cartesian, so the
+    unblocked form refuses inputs larger than ``allow_unblocked_rows`` —
+    one cheap count up front instead of an O(n²) job at table scale."""
     from ..functions.arrays import cosine
 
+    if block_col is None:
+        n_rows = df.count()
+        if n_rows > allow_unblocked_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs without block_col is O(n^2): got "
+                f"{n_rows} rows > allow_unblocked_rows={allow_unblocked_rows}. "
+                "Pass block_col (e.g. a similarity.lsh_bucket column)."
+            )
     s = df.select(
         F.col(key_col).alias("k"),
         F.col(vec_col).alias("v"),

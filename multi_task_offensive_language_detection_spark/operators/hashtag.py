@@ -85,11 +85,15 @@ def hashtag_segment_udf(vocab: frozenset[str] | None = None):
         v = vocab if vocab is not None else _default_vocab()  # once per worker
         mx = max(map(len, v)) if v else 1
         for s in it:
-            yield s.fillna("").map(
+            # NULL in → NULL out (like the engine's native string ops):
+            # compute on fillna("") but restore the null mask afterwards
+            out = s.fillna("").map(
                 lambda t: segment_hashtags_in_text(str(t), v, mx)
                 if "#" in str(t)
                 else str(t)
             )
+            out[s.isna()] = None
+            yield out
 
     return _seg
 

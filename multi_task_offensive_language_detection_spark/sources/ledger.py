@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 
 
 @dataclass
@@ -38,6 +38,20 @@ class LedgerEntry:
     attempt: int = 1
 
 
+#: renamed-field migrations, old name → current name (read-side only: a
+#: ledger written by an older engine version must still resume cleanly)
+_LEGACY_KEYS = {"wall_ms": "job_wall_ms"}
+_ENTRY_FIELDS = {f.name for f in fields(LedgerEntry)}
+
+
+def _entry_from_dict(d: dict) -> LedgerEntry:
+    """Tolerant constructor: maps legacy key names and drops unknown keys,
+    so ledgers written before a field rename (or by a newer engine with
+    extra counters) still load instead of TypeError-ing resume."""
+    remapped = {_LEGACY_KEYS.get(k, k): v for k, v in d.items()}
+    return LedgerEntry(**{k: v for k, v in remapped.items() if k in _ENTRY_FIELDS})
+
+
 class Ledger:
     def __init__(self, ledger_dir: str):
         self.dir = ledger_dir
@@ -52,7 +66,7 @@ class Ledger:
             if not (name.startswith("part-") and name.endswith(".json")):
                 continue
             with open(os.path.join(self.dir, name)) as f:
-                out_entry = LedgerEntry(**json.load(f))
+                out_entry = _entry_from_dict(json.load(f))
             out[out_entry.part_id] = out_entry
         return out
 
@@ -71,7 +85,7 @@ class Ledger:
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return LedgerEntry(**json.load(f))
+            return _entry_from_dict(json.load(f))
 
     def pending(self, all_parts: list[int], fingerprints: dict[int, str]) -> list[int]:
         """Parts needing (re)processing: missing, failed, or input changed."""

@@ -136,6 +136,23 @@ def test_ngram_jaccard_refuses_unblocked_at_scale(docs):
         dedup.ngram_jaccard_pairs(docs, "doc_id", "text", allow_unblocked_rows=3)
 
 
+def test_embedding_neardup_refuses_unblocked_at_scale(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="block_col"):
+        dedup.embedding_neardup_pairs(
+            df, "vec_id", "embedding", allow_unblocked_rows=3
+        )
+    # blocked form is exempt from the guard (bounded per block by design)
+    blocked = dedup.embedding_neardup_pairs(
+        df.withColumn("blk", F.pmod("vec_id", F.lit(2))),
+        "vec_id", "embedding", threshold=0.99, block_col="blk",
+        allow_unblocked_rows=3,
+    )
+    assert blocked.count() > 0
+
+
 def test_lsh_short_texts_excluded_and_buckets_capped(spark, docs):
     # degenerate corpus: 2k identical texts + 400 shingle-less shorts.
     # Without the guards this is O(k²) candidate pairs (the 100 TB failure

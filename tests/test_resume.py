@@ -77,6 +77,31 @@ def test_ledger_attempt_increments(tmp_path):
     assert led.read_one(1).attempt == 2
 
 
+def test_ledger_reads_legacy_and_unknown_keys(tmp_path):
+    # a ledger written by an older engine (wall_ms instead of job_wall_ms)
+    # or a newer one (extra counters) must still load and resume cleanly —
+    # a read-side TypeError would turn every resume into a full rescore
+    import json
+
+    led = Ledger(str(tmp_path))
+    legacy = {
+        "part_id": 3,
+        "status": "done",
+        "fingerprint": "cafe",
+        "n_in": 10,
+        "n_keep": 8,
+        "wall_ms": 1234,  # legacy name
+        "future_counter": 99,  # unknown key from a newer writer
+    }
+    with open(tmp_path / "part-000003.json", "w") as f:
+        json.dump(legacy, f)
+    e = led.read_one(3)
+    assert e.job_wall_ms == 1234 and e.n_keep == 8
+    assert led.pending([3], {3: "cafe"}) == []
+    assert led.pending([3], {3: "changed"}) == [3]
+    assert led.totals()["n_in"] == 10
+
+
 def test_audio_audit_sampled(spark, artifacts, small_clips):
     """The sampled audit decodes real fixture audio and reports health;
     the text pipeline itself never touches bytes (plan-shape test)."""

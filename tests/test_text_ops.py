@@ -105,7 +105,7 @@ def test_hashtag_segmentation_goldens(spark):
     out = {r["k"]: r["s"] for r in df.select("k", segment_hashtags(F.col("t")).alias("s")).collect()}
     assert out[1] == "hello the house and the people said ok"
     assert out[2] == "no tags here"
-    assert out[3] == ""
+    assert out[3] is None  # NULL preserved, like native string ops
 
 
 def test_hashtag_segmentation_lossless_property():
