@@ -15,6 +15,7 @@ Conventions that keep the driver's compare deterministic:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -1680,81 +1681,58 @@ def scan_clips(spark, sf):
 # =========================================================================
 # registration order
 # =========================================================================
-# The driver samples correctness keys in REGISTRATION order (round 1 it
-# checked exactly the first 50), so registration order is a correctness-
-# coverage lever: keys that have never had a driver row — the flagship,
-# TPC-H, streaming, dedup-at-scale, ANN, and the round-2 additions — go
-# first; keys already hash-verified green in CORRECTNESS_r01.json rotate
-# to the back (their rows exist on record; pytest still covers them).
+# The driver samples correctness keys in REGISTRATION order (it checks
+# exactly the first DRIVER_WINDOW keys), so registration order is a
+# correctness-coverage lever. Rounds 1-2 hand-maintained a priority
+# tuple; it is now GENERATED from the recorded CORRECTNESS_r*.json
+# history: keys that have never had a driver row go first, then
+# oldest-verified-first, ties broken by original registration order.
+# With W=50 and ~79 keys this guarantees every key gets a fresh driver
+# row at least every other round (enforced by tests/test_rotation.py).
 
-_PRIORITY: tuple[str, ...] = (
-    # never driver-checked in r01 (+ new this round)
-    "pipeline_documents",
-    "pipeline_documents_rules",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "stream_tumbling",
-    "stream_session",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_exact_docs",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "agg_cube",
-    "agg_percentiles",
-    "agg_pivot_confusion",
-    "join_asof",
-    "explode_posexplode",
-    "grouped_zscore",
-    "str_demojize",
-    "str_levenshtein",
-    "map_from_json",
-    "date_parts",
-    "array_ops",
-    "win_analytics",
-    "scan_clips",
-    "str_hashtag_segment",
-    "dedup_embedding_cosine",
-    # r01-green keys that keep a slot in the first-50 window (one per
-    # operator family, highest-value representatives)
-    "filter_hierarchy",
-    "dedup_text",
-    "win_dedup_rownum",
-    "set_except",
-    "join_broadcast_inner",
-    "join_then_agg",
-    "join_range",
-    "agg_label_counts",
-    "agg_confusion",
-    "agg_f1_per_class",
-    "agg_macro_f1",
-    "agg_rollup",
-    "topk_terms",
-    "win_rank",
-    "win_lag_gap",
-    "win_moving_avg",
-    "str_pii_scrub",
-    "json_extract",
-    "array_dot",
-    "date_trunc_counts",
-    "quality_score",
-)
+#: how many keys the driver's correctness gate samples per round
+DRIVER_WINDOW = 50
 
 
-def _reordered(d: dict) -> dict:
-    missing = [k for k in _PRIORITY if k not in d]
-    extra_unknown = [k for k in _PRIORITY if _PRIORITY.count(k) > 1]
-    if missing or extra_unknown:
-        raise RuntimeError(
-            f"checks._PRIORITY out of sync: missing={missing} dup={extra_unknown}"
-        )
-    out = {k: d[k] for k in _PRIORITY if k in d}
-    out.update({k: v for k, v in d.items() if k not in out})
-    return out
+def correctness_history(repo_root: str | None = None) -> dict[str, int]:
+    """key → latest round number with a recorded driver correctness row,
+    from the driver-written CORRECTNESS_r{N}.json files at the repo root.
+    Keys absent from every file map to nothing (treated as round -1)."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):  # pragma: no cover - defensive
+            continue
+        if not isinstance(data, dict):  # pragma: no cover - defensive
+            continue
+        for k in data:
+            last[k] = max(last.get(k, -1), rnd)
+    return last
 
 
-QUERIES = _reordered(QUERIES)
+def rotation_order(registered: list[str], last: dict[str, int] | None = None) -> list[str]:
+    """Registration order for the driver window: never-verified keys
+    first (new operators always land inside the window), then ascending
+    by the round of their most recent driver row (stalest first).
+    sorted() is stable, so equal-round keys keep their decorator order —
+    the rotation is deterministic given the same history files."""
+    if last is None:
+        last = correctness_history()
+    idx = {k: i for i, k in enumerate(registered)}
+    return sorted(registered, key=lambda k: (last.get(k, -1), idx[k]))
+
+
+_ORDER = rotation_order(list(QUERIES))
+QUERIES = {k: QUERIES[k] for k in _ORDER}
 ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}

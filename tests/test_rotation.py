@@ -1,0 +1,48 @@
+"""Driver-window rotation: the correctness gate samples only the first
+DRIVER_WINDOW registered check keys per round, so registration order must
+guarantee no key's last driver row goes stale by more than one round.
+Rounds 1-2 hand-maintained the order; it is now generated from the
+recorded CORRECTNESS_r*.json history (never-verified first, then
+stalest-first) — these tests pin the generator's contract.
+"""
+
+from __future__ import annotations
+
+from multi_task_offensive_language_detection_spark import checks
+
+
+def test_rotation_never_verified_keys_lead():
+    order = checks.rotation_order(["a", "b", "c", "d"], {"a": 2, "c": 1})
+    assert order == ["b", "d", "c", "a"]  # unverified first, then stalest
+
+
+def test_rotation_is_stable_within_a_round():
+    # equal-history keys keep their registration (decorator) order
+    order = checks.rotation_order(["x", "y", "z"], {"x": 1, "y": 1, "z": 1})
+    assert order == ["x", "y", "z"]
+
+
+def test_no_key_goes_stale_beyond_one_round():
+    """Every registered key must either (a) have a driver row from the
+    most recent recorded round, or (b) sit inside the first-DRIVER_WINDOW
+    slice — i.e. be guaranteed a row in the round about to run. If this
+    fails, more keys than fit one window have aged out: shrink the check
+    surface or wait a round before adding more keys."""
+    last = checks.correctness_history()
+    assert last, "driver correctness records missing from the repo root"
+    max_round = max(last.values())
+    order = list(checks.QUERIES)
+    window = set(order[: checks.DRIVER_WINDOW])
+    stale = [
+        k for k in order if last.get(k, -1) < max_round and k not in window
+    ]
+    assert stale == [], f"keys starving outside the driver window: {stale}"
+
+
+def test_registered_order_matches_generator():
+    # QUERIES must actually BE in generated rotation order (the module
+    # applies it at import time) and ORACLES must follow the same order
+    order = list(checks.QUERIES)
+    assert order == checks.rotation_order(order)  # idempotent fixpoint
+    oracle_keys = list(checks.ORACLES)
+    assert oracle_keys == [k for k in order if k in checks.ORACLES]
