@@ -1128,25 +1128,37 @@ def pipeline_documents_rules(spark, sf):
     """The flagship's deterministic-rules slice as a FULL-ORACLE key: the
     same PII scrub → normalize → heuristic scores → first-failing-gate
     decision the pipeline runs, restricted to SQL-expressible gates
-    (length / token-repetition / caps / toxicity; langid+perplexity are
-    model UDFs and stay under the rows-only flagship key + pytest
-    goldens). Same functions, same thresholds, same gate priority —
-    this is the hash-checked correctness row for the pipeline plan."""
-    from .lexicons import PROFANITY as PROF, THRESHOLDS as TH
-    from .functions.scrub import scrub_profanity
+    (length / token-repetition / caps / toxicity; langid+perplexity
+    gates stay under the rows-only flagship key + pytest goldens).
 
+    The token metrics (n_tokens / rep_tok_ratio / profanity_hits) come
+    from the PRODUCTION fused Arrow UDF (operators/scoring.py) — the
+    exact code path score_transcripts ships — not from standalone JVM
+    helpers, so this driver row catches drift in the UDF kernels (e.g.
+    the 16-char-prefix token hash: exact-distinct on this data, where
+    no token exceeds 16 chars; a kernel regression that conflates
+    distinct tokens would hash-mismatch the exact-distinct DuckDB
+    mirror). Same thresholds, same gate priority as the pipeline."""
+    from .artifacts_build import build_all
+    from .lexicons import THRESHOLDS as TH
+    from .functions.scrub import scrub_profanity
+    from .operators.scoring import combined_scores_udf
+
+    arts = build_all()
     d = _t(spark, sf, "documents")
     raw = F.col("text")
     d = d.withColumn("_pii", scrub_pii(raw))
     d = d.withColumn("_norm", FT.normalize_ws(FT.lower_guarded(F.col("_pii"))))
-    toks = FT.tokens_of_normalized(F.col("_norm"))
+    d = d.withColumn(
+        "_py", combined_scores_udf(arts["langid"], arts["lm"])(F.col("_norm"))
+    )
     d = d.withColumns(
         {
             "_n_chars": F.length(raw),
-            "_n_tokens": FT.token_count_from(toks, F.col("_norm")),
-            "_rep_tok": FT.rep_tok_ratio_from(toks, F.col("_norm")),
+            "_n_tokens": F.col("_py.n_tokens"),
+            "_rep_tok": F.col("_py.rep_tok_ratio"),
             "_caps": FT.caps_ratio(raw),
-            "_prof": FT.word_hits(F.col("_norm"), PROF),
+            "_prof": F.col("_py.prof_hits"),
         }
     )
     length_bad = (F.col("_n_chars") < TH["len_min_chars"]) | (
