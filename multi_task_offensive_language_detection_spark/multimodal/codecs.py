@@ -147,6 +147,166 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, nch)
 
 
+# --- AVI (RIFF) ---------------------------------------------------------------
+#
+# Uncompressed-video AVI, from the public RIFF/AVI container spec:
+#
+#   'RIFF' size 'AVI '
+#     LIST 'hdrl'
+#       'avih' (MainAVIHeader, 56 B)
+#       LIST 'strl'
+#         'strh' (AVIStreamHeader: fccType='vids', handler='DIB ')
+#         'strf' (BITMAPINFOHEADER, 40 B — same struct BMP uses)
+#     LIST 'movi'
+#       '00db' <DIB frame: bottom-up BGR rows padded to 4 B>  × n
+#     'idx1' (AVIINDEXENTRY × n)
+#
+# Every chunk is word-aligned (odd payloads get one pad byte). The frame
+# payload is exactly a BMP pixel array without the file header, so the
+# demuxer shares the BMP row/stride/flip logic above.
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def _dib_frame(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → bottom-up padded BGR rows (the '00db' payload)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 30) -> bytes:
+    """Uniform (H, W, 3) uint8 RGB frames → uncompressed 24-bit DIB AVI."""
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w, _ = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("encode_avi expects uniform (H, W, 3) uint8 frames")
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,  # dwFlags, wPriority, wLanguage, dwInitialFrames
+        1, fps,  # dwScale, dwRate → fps frames/sec
+        0, len(frames),  # dwStart, dwLength
+        frame_bytes, 0xFFFFFFFF, 0,  # dwSuggestedBufferSize, dwQuality(-1), dwSampleSize
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _BI_RGB, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _riff_list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_chunks, index = [], []
+    offset = 4  # index offsets count from the start of the 'movi' list type
+    for f in frames:
+        payload = _dib_frame(f)
+        movi_chunks.append(_chunk(b"00db", payload))
+        index.append(struct.pack("<4sIII", b"00db", 0x10, offset, len(payload)))
+        offset += len(movi_chunks[-1])
+    movi = _riff_list(b"movi", b"".join(movi_chunks))
+    idx1 = _chunk(b"idx1", b"".join(index))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) over a RIFF chunk run,
+    honoring word alignment; tolerant of a truncated final chunk."""
+    i = start
+    while i + 8 <= end:
+        fourcc = data[i : i + 4]
+        size = struct.unpack_from("<I", data, i + 4)[0]
+        payload = i + 8
+        if payload + size > end:
+            break
+        yield fourcc, payload, size
+        i = payload + size + (size % 2)
+
+
+def decode_avi(data: bytes) -> tuple[list[np.ndarray], dict]:
+    """AVI bytes → ([(H, W, 3) uint8 RGB frames], meta).
+
+    Demuxes stream-0 uncompressed DIB chunks ('00db'/'00dc'); meta holds
+    width/height/fps/n_frames from the headers. BI_RGB 24-bit only —
+    anything compressed needs a real codec and raises."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    w = h = bpp = None
+    fps = 0.0
+    frames: list[np.ndarray] = []
+
+    def parse_hdrl(s: int, e: int) -> None:
+        nonlocal w, h, bpp, fps
+        for cc, p, sz in _walk_chunks(data, s, e):
+            if cc == b"LIST" and data[p : p + 4] == b"strl":
+                for cc2, p2, sz2 in _walk_chunks(data, p + 4, p + sz):
+                    if cc2 == b"strh" and sz2 >= 32:
+                        if data[p2 : p2 + 4] != b"vids":
+                            return  # audio/other stream: ignore whole strl
+                        scale, rate = struct.unpack_from("<II", data, p2 + 20)
+                        if scale:
+                            fps = rate / scale
+                    elif cc2 == b"strf" and sz2 >= 40:
+                        _, bw, bh, _, b_bpp, comp = struct.unpack_from(
+                            "<IiiHHI", data, p2
+                        )
+                        if comp != _BI_RGB or b_bpp != 24:
+                            raise ValueError(
+                                f"unsupported AVI video format bpp={b_bpp} comp={comp}"
+                            )
+                        w, h, bpp = bw, abs(bh), b_bpp
+
+    movi_ranges: list[tuple[int, int]] = []
+    for cc, p, sz in _walk_chunks(data, 12, len(data)):
+        if cc == b"LIST":
+            lt = data[p : p + 4]
+            if lt == b"hdrl":
+                parse_hdrl(p + 4, p + sz)
+            elif lt == b"movi":
+                movi_ranges.append((p + 4, p + sz))
+    if w is None or not movi_ranges:
+        raise ValueError("AVI missing video headers or movi list")
+    stride = (w * 3 + 3) & ~3
+    for s, e in movi_ranges:
+        for cc, p, sz in _walk_chunks(data, s, e):
+            if cc in (b"00db", b"00dc"):
+                if sz < stride * h:
+                    raise ValueError("truncated AVI frame chunk")
+                rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=p)
+                rgb = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+                frames.append(np.ascontiguousarray(rgb))
+    return frames, {"width": w, "height": h, "fps": fps, "n_frames": len(frames)}
+
+
 # --- dispatch -----------------------------------------------------------------
 
 

@@ -12,9 +12,9 @@ Exposed two ways:
   huge ``bytes`` column during text scoring — SURVEY.md §4.2).
 - ``decode_pcm(bytes, codec)`` — plain numpy function for tests/tools.
 
-Multimodal note: this is the pattern for all opaque-binary payload columns
-(image/video would slot in the same way; their codec libs are absent in
-this container, so see multimodal/ for the stubbed variants).
+Multimodal note: this is the pattern for all opaque-binary payload
+columns — multimodal/ applies it to images (from-scratch BMP/PPM codecs)
+and video (from-scratch RIFF/AVI demuxer), all pure numpy like this file.
 """
 
 from __future__ import annotations
