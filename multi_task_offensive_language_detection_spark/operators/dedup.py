@@ -186,15 +186,24 @@ def _flat_shingle_hashes(texts: pd.Series, n: int):
 
 def minhash64_text_udf(n: int = 5):
     """text → 64-slot MinHash signature, fully vectorized per Arrow batch
-    (shingling + hashing + per-slot segment-min all in numpy)."""
+    (shingling + hashing + per-slot segment-min all in numpy).
+
+    Works on the RAW (non-deduped) shingle-hash stream: the min of a
+    multiset equals the min of its distinct values, so the per-batch
+    lexsort+dedup that the exact-Jaccard kernel needs is pure overhead
+    here — skipping it removes the most expensive pass of the old
+    signature kernel (O(W log W) over every shingle window)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..functions.hashing import char_ngram_hashes_flat
+
         for s in it:
-            h, rows, n_rows = _flat_shingle_hashes(s, n)
+            tl = [str(t) for t in s.fillna("")]
+            h, rows = char_ngram_hashes_flat(tl, n)
             out = np.full((len(s), 64), np.iinfo(np.int64).max, dtype=np.int64)
             if len(h):
-                counts = np.bincount(rows, minlength=n_rows)
+                counts = np.bincount(rows, minlength=len(tl))
                 bounds_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
                 nonempty = np.nonzero(counts > 0)[0]
                 bounds = bounds_all[nonempty]
@@ -213,26 +222,32 @@ def minhash64_text_udf(n: int = 5):
 
 def jaccard_texts_udf(n: int = 5):
     """(text1, text2) → exact distinct-shingle Jaccard, numpy per batch —
-    the verify kernel for LSH candidates (pairs are few; shingling both
-    sides in numpy beats shipping shingle arrays through Arrow)."""
+    the verify kernel for LSH candidates (shingling both sides in numpy
+    beats shipping shingle arrays through Arrow).
+
+    Fully vectorized: both sides' per-row-distinct shingle hashes are
+    concatenated as (row, hash) pairs and lexsorted once — a (row, hash)
+    appearing twice means both sides contain it, so the per-row
+    intersection is one bincount over adjacent-duplicate positions. No
+    per-row Python loop (the old row-loop at ~0.5 ms/pair dominated the
+    whole LSH job once candidates landed on few tasks)."""
 
     @F.pandas_udf(T.DoubleType())
     def _j(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         for a, b in it:
-            ha, ra, nr = _flat_shingle_hashes(a, n)
+            ha, ra, _ = _flat_shingle_hashes(a, n)
             hb, rb, _ = _flat_shingle_hashes(b, n)
-            out = np.zeros(len(a), dtype=np.float64)
             ca = np.bincount(ra, minlength=len(a))
             cb = np.bincount(rb, minlength=len(a))
-            # per-row set intersection via sorted merge: concat and count dups
-            for i in range(len(a)):
-                if ca[i] == 0 and cb[i] == 0:
-                    continue
-                sa = ha[np.searchsorted(ra, i, "left") : np.searchsorted(ra, i, "right")]
-                sb = hb[np.searchsorted(rb, i, "left") : np.searchsorted(rb, i, "right")]
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = ca[i] + cb[i] - inter
-                out[i] = inter / union if union else 0.0
+            rows = np.concatenate([ra, rb])
+            hs = np.concatenate([ha, hb])
+            order = np.lexsort((hs, rows))
+            rs, hh = rows[order], hs[order]
+            dup = (rs[1:] == rs[:-1]) & (hh[1:] == hh[:-1])
+            inter = np.bincount(rs[1:][dup], minlength=len(a))
+            union = ca + cb - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
             yield pd.Series(out)
 
     return _j
@@ -244,6 +259,14 @@ def _lsh_base(df: DataFrame, key_col: str, text_col: str, n: int, num_hashes: in
     base = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t")).filter(
         F.length(F.col("t")) >= F.lit(n)
     )
+    # The signature UDF is the compute-heavy stage: spread it over every
+    # core when the source arrives under-partitioned (one small parquet
+    # file = one task would serialize the whole corpus through a single
+    # Python worker). Keyed repartition, so the shuffle is deterministic;
+    # a well-partitioned 100 TB source skips this branch entirely.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, F.col("k"))
     if num_hashes == 64:
         # vectorized numpy shingle+signature: only raw texts cross Arrow
         return base.withColumn("sig", minhash64_text_udf(n)(F.col("t")))
