@@ -1148,16 +1148,15 @@ def pipeline_documents_rules(spark, sf):
     d = _t(spark, sf, "documents")
     raw = F.col("text")
     d = d.withColumn("_pii", scrub_pii(raw))
-    d = d.withColumn("_norm", FT.normalize_ws(FT.lower_guarded(F.col("_pii"))))
     d = d.withColumn(
-        "_py", combined_scores_udf(arts["langid"], arts["lm"])(F.col("_norm"))
+        "_py", combined_scores_udf(arts["langid"], arts["lm"])(raw, F.col("_pii"))
     )
     d = d.withColumns(
         {
             "_n_chars": F.length(raw),
             "_n_tokens": F.col("_py.n_tokens"),
             "_rep_tok": F.col("_py.rep_tok_ratio"),
-            "_caps": FT.caps_ratio(raw),
+            "_caps": F.col("_py.caps_ratio"),
             "_prof": F.col("_py.prof_hits"),
         }
     )

@@ -74,16 +74,19 @@ def with_labels(
     The optional columns let the caller reuse already-computed signals:
     the pipeline gets all four from the fused Arrow scoring stage
     (operators/scoring.py sig bitmask), so no JVM alternation scan runs
-    here at all; standalone callers fall back to the regex signals."""
-    sig = signals(F.col(norm_col))
-    for name, override in (
-        ("profane", profane),
-        ("second_person", second_person),
-        ("group", group),
-        ("entity", entity),
-    ):
-        if override is not None:
-            sig[name] = override
+    here at all — and ``norm_col`` need not even exist then; standalone
+    callers fall back to the regex signals over ``norm_col``."""
+    overrides = {
+        "profane": profane,
+        "second_person": second_person,
+        "group": group,
+        "entity": entity,
+    }
+    if all(v is not None for v in overrides.values()):
+        sig = overrides
+    else:
+        sig = signals(F.col(norm_col))
+        sig.update({k: v for k, v in overrides.items() if v is not None})
     a = label_a(sig)
     b = label_b(a, sig)
     c = label_c(b, sig)

@@ -4,11 +4,12 @@ Plan shape (deliberate — see §4 of SURVEY.md):
 
     scan (partition-pruned to pending parts, column-pruned: never 'bytes')
       → salted repartition                       [the ONLY wide stage]
-      → fused native projection: PII scrub + normalize + char scores
+      → native projection: PII scrub — the single JVM string rebuild
                                                   [WholeStageCodegen]
-      → ONE fused ArrowEvalPython stage: langid + perplexity + token
-        metrics + profanity/taxonomy lexicon signals, all riding a
-        single tokenize+hash pass                 [one Arrow boundary]
+      → ONE fused ArrowEvalPython stage: normalization + langid +
+        perplexity + token metrics + caps/char-run stats + profanity/
+        taxonomy lexicon signals, riding one tokenize+hash pass and one
+        utf-32 decode                             [one Arrow boundary]
       → fused native projection: scrub output + labels + keep/drop
         when-chain                                [narrow]
       → partitioned write + per-part atomic commit + ledger
@@ -78,36 +79,24 @@ def score_transcripts(
     artifacts = artifacts or build_all()
     raw = F.col(text_col)
 
-    # -- fused native projection #1: normalization + char scores -----------
-    # norm_text: lowercase → PII masked (emails BEFORE mentions) → ws-collapse.
-    # Profanity is retained here — the taxonomy head needs it.
-    # ONE pass of the PII chain (case-insensitive, on the raw text), reused
-    # by both the case-preserving output scrub and the lowercased scoring
-    # text — JVM string rebuilds are the pipeline's dominant native cost,
-    # so every duplicated pass matters (measured: ~66µs/row/core).
+    # -- native projection #1: ONE pass of the PII chain (case-insensitive,
+    # on the raw text), reused by both the case-preserving output scrub and
+    # (inside the UDF) the lowercased scoring text. This is the ONLY string
+    # rebuild left in the JVM stage: lowercasing, ws-collapse and the char
+    # stats moved into the Arrow stage (scoring.py module docstring — at
+    # 8+ cores the JVM stage is memory-bandwidth-bound and each extra
+    # JVM pass re-streams every row's bytes; measured ~66µs/row/core).
     df = df.withColumn("_pii_scrubbed", scrub_pii(raw))
-    df = df.withColumn(
-        "norm_text", FT.normalize_ws(FT.lower_guarded(F.col("_pii_scrubbed")))
-    )
-    df = df.withColumns(
-        {
-            "caps_ratio": FT.caps_ratio(raw),
-            "rep_char_run": FT.has_char_run(raw, t["rep_char_run_max"]),
-            "rep_char_ratio": FT.rep_char_ratio(raw),
-            "n_chars": F.length(raw),
-        }
-    )
 
-    # -- single ArrowEvalPython stage: langid + ppl + token metrics +
-    # lexicon signals folded into ONE iterator UDF (iter-type UDFs can't be
-    # fused by Catalyst, so separate UDFs would mean separate Arrow
-    # round-trips — see scoring.py). Token counts, the repeat ratio,
-    # profanity hits and the three taxonomy targeting signals all ride the
-    # token stream the LM hashes anyway — moving them here removed four
-    # \b-alternation NFA scans and a split+array_distinct pass from the
-    # JVM stage (the 2→8-core scaling bottleneck is memory bandwidth, and
-    # those scans were pure per-row byte traffic).
+    # -- single ArrowEvalPython stage: normalization + langid + ppl + token
+    # metrics + char stats + lexicon signals folded into ONE iterator UDF
+    # (iter-type UDFs can't be fused by Catalyst, so separate UDFs would
+    # mean separate Arrow round-trips — see scoring.py). Token counts, the
+    # repeat ratio, profanity hits and the taxonomy targeting signals all
+    # ride the token stream the LM hashes anyway; caps/run stats share one
+    # utf-32 decode of the raw column.
     from ..operators.scoring import (
+        SIG_AT_USER,
         SIG_ENTITY,
         SIG_GROUP,
         SIG_SECOND_PERSON,
@@ -116,9 +105,9 @@ def score_transcripts(
 
     df = df.withColumn(
         "pyscores",
-        combined_scores_udf(artifacts["langid"], artifacts["lm"])(
-            F.col("norm_text")
-        ),
+        combined_scores_udf(
+            artifacts["langid"], artifacts["lm"], min_run=t["rep_char_run_max"]
+        )(raw, F.col("_pii_scrubbed")),
     ).withColumns(
         {
             "langid_lang": F.col("pyscores.lang"),
@@ -127,6 +116,10 @@ def score_transcripts(
             "n_tokens": F.col("pyscores.n_tokens"),
             "rep_tok_ratio": F.col("pyscores.rep_tok_ratio"),
             "profanity_hits": F.col("pyscores.prof_hits"),
+            "caps_ratio": F.col("pyscores.caps_ratio"),
+            "rep_char_run": F.col("pyscores.rep_char_run"),
+            "rep_char_ratio": F.col("pyscores.rep_char_ratio"),
+            "n_chars": F.length(raw),
         }
     )
 
@@ -149,15 +142,13 @@ def score_transcripts(
     )
 
     # -- decision: taxonomy + gates -----------------------------------------
+    # all four signals come from the UDF bitmask (incl. the @user substring
+    # as SIG_AT_USER) — no JVM text scan runs in the decision stage at all
     sig = F.col("pyscores.sig")
     df = taxonomy.with_labels(
         df,
-        "norm_text",
         profane=F.col("profanity_hits") > 0,
-        # @USER placeholders survive as a plain substring check (cheap JVM
-        # scan, no regex); the word-level signal comes from the UDF bitmask
-        second_person=(sig.bitwiseAND(F.lit(SIG_SECOND_PERSON)) > 0)
-        | F.col("norm_text").contains("@user"),
+        second_person=sig.bitwiseAND(F.lit(SIG_SECOND_PERSON | SIG_AT_USER)) > 0,
         group=sig.bitwiseAND(F.lit(SIG_GROUP)) > 0,
         entity=sig.bitwiseAND(F.lit(SIG_ENTITY)) > 0,
     )

@@ -127,3 +127,110 @@ def test_lexicon_stream_equals_standalone_on_punctuated_batch(models):
     p_st, s_st = lex.score_stream(len(texts), *stream)
     assert list(p_ref) == list(p_st)
     assert list(s_ref) == list(s_st)
+
+
+# --- Python-kernel ≡ JVM-expression equivalence (round 3) -------------------
+# The normalization and char stats moved from JVM Column expressions into
+# the fused Arrow UDF for bandwidth reasons; these tests pin the Python
+# kernels to the exact semantics of the expressions they replaced.
+
+_ADVERSARIAL = [
+    "",
+    " ",
+    "   leading and   trailing   ",
+    "ALL CAPS SHOUTING TEXT",
+    "MiXeD CaSe witH Stuff",
+    "aaa",
+    "aaaaaa",
+    "aaaaaabbbbbb ccc",
+    "ab",
+    "a\tb\nc\x0b d\fe\rf",
+    "\t\n  \r",
+    "no runs here at all",
+    "wheeeeeeee!!!!! SO COOL",
+    "x" * 200,
+    "tab\t\ttab  double",
+    "newline\n\n\nruns\nhere",  # \n runs are invisible to (.)\1 (dot excludes them)
+    "dots...... and ??????",
+    "1234444445678",
+    "end with run aaaaa",
+    "aaaaa start with run",
+    "üüüüü unicode ÄÖÜ runs",  # non-ASCII: letters don't count for caps
+    "a  b",
+]
+
+
+def test_char_stats_batch_matches_jvm_expressions(spark):
+    from pyspark.sql import functions as F
+
+    from multi_task_offensive_language_detection_spark.functions import text as FT
+    from multi_task_offensive_language_detection_spark.operators.scoring import (
+        char_stats_batch,
+    )
+
+    min_run = 5
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_ADVERSARIAL)], "i long, t string")
+    jvm = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            FT.caps_ratio(F.col("t")).alias("caps"),
+            FT.has_char_run(F.col("t"), min_run).alias("run"),
+            FT.rep_char_ratio(F.col("t")).alias("rep"),
+        ).collect()
+    }
+    caps, runs, reps = char_stats_batch(_ADVERSARIAL, min_run)
+    for i in range(len(_ADVERSARIAL)):
+        assert caps[i] == jvm[i]["caps"], (i, _ADVERSARIAL[i], caps[i], jvm[i]["caps"])
+        assert bool(runs[i]) == jvm[i]["run"], (i, _ADVERSARIAL[i])
+        assert reps[i] == jvm[i]["rep"], (i, _ADVERSARIAL[i], reps[i], jvm[i]["rep"])
+
+
+def test_normalize_batch_matches_jvm_expression(spark):
+    from pyspark.sql import functions as F
+
+    from multi_task_offensive_language_detection_spark.functions import text as FT
+    from multi_task_offensive_language_detection_spark.operators.scoring import (
+        _normalize_batch,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_ADVERSARIAL)], "i long, t string")
+    jvm = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", FT.normalize_ws(FT.lower_guarded(F.col("t"))).alias("n")
+        ).collect()
+    }
+    got = _normalize_batch(pd.Series(_ADVERSARIAL))
+    for i in range(len(_ADVERSARIAL)):
+        assert got.iloc[i] == jvm[i], (i, repr(_ADVERSARIAL[i]), repr(got.iloc[i]), repr(jvm[i]))
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcDEF !?\t\n\x0b\f\r.@#") + ["ü", "Ä"]
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_char_stats_property_random_strings(spark, s):
+    from pyspark.sql import functions as F
+
+    from multi_task_offensive_language_detection_spark.functions import text as FT
+    from multi_task_offensive_language_detection_spark.operators.scoring import (
+        _normalize_batch,
+        char_stats_batch,
+    )
+
+    df = spark.createDataFrame([(s,)], "t string")
+    r = df.select(
+        FT.caps_ratio(F.col("t")).alias("caps"),
+        FT.has_char_run(F.col("t"), 5).alias("run"),
+        FT.rep_char_ratio(F.col("t")).alias("rep"),
+        FT.normalize_ws(FT.lower_guarded(F.col("t"))).alias("n"),
+    ).collect()[0]
+    caps, runs, reps = char_stats_batch([s], 5)
+    assert caps[0] == r["caps"] and bool(runs[0]) == r["run"] and reps[0] == r["rep"]
+    assert _normalize_batch(pd.Series([s])).iloc[0] == r["n"]
