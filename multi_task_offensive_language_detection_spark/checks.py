@@ -1689,6 +1689,98 @@ def scan_clips(spark, sf):
     )
 
 
+@check(
+    "unpivot_melt",
+    # portable long-form oracle (UNION ALL) — semantics of UNPIVOT/melt
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS name,
+           round(l_quantity, 6) AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 6)
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', round(l_tax, 6)
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def unpivot_melt(spark, sf):
+    """Spark 4 unpivot/melt — wide metric columns to (name, value) long
+    form, the inverse of A4's pivot. Narrow op: no shuffle, row count
+    × n_cols, scales trivially."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "discount", "tax"],
+        "name",
+        "value",
+    ).select(
+        "l_orderkey", "l_linenumber", "name", F.round("value", 6).alias("value")
+    )
+
+
+@check(
+    "merge_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name,
+             round(c_acctbal + 1000.0, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new customer', 0.00
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    all_rows AS (
+      SELECT c_custkey, c_name, c_acctbal, 2 AS _src FROM updates
+      UNION ALL
+      SELECT c_custkey, c_name, round(c_acctbal, 2), 1 FROM customer
+    )
+    SELECT c_custkey, c_name, c_acctbal
+    FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY _src DESC) AS rn
+          FROM all_rows)
+    WHERE rn = 1
+    """,
+)
+def merge_upsert(spark, sf):
+    """MERGE INTO semantics (update-matched + insert-new, updates win)
+    composed from stock operators: tag sources, union, keep-highest-
+    priority row per key via a window — the standard upsert pattern for
+    engines without a native MERGE (one shuffle on the merge key; at
+    Iceberg-table scale the same plan runs partition-pruned)."""
+    from .operators import upsert
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("new customer").alias("c_name"),
+                F.lit(0.00).alias("c_acctbal"),
+            )
+        )
+    )
+    return upsert.merge_upsert(c, updates, ["c_custkey"])
+
+
 # =========================================================================
 # registration order
 # =========================================================================

@@ -69,10 +69,9 @@ def main() -> None:
     levels = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     points = {n: round(measure(n), 1) for n in levels}
     out = {"points": points, "rows_per_proc": ROWS_PER_PROC}
-    if 1 in points and 4 in points:
-        out["eff_1_4"] = round(points[4] / (4.0 * points[1]), 3)
-    if 2 in points and 8 in points:
-        out["eff_2_8"] = round(points[8] / (4.0 * points[2]), 3)
+    for lo, hi in ((1, 4), (2, 8), (8, 32)):
+        if lo in points and hi in points:
+            out[f"eff_{lo}_{hi}"] = round(points[hi] / (4.0 * points[lo]), 3)
     print(json.dumps(out))
 
 
