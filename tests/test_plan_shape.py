@@ -124,3 +124,17 @@ def test_tpch_q5_q6_pushdown_no_cartesian(spark):
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", p6)
     m = re.search(r"ReadSchema: (\S+)", p6)
     assert m and "l_orderkey" not in m.group(1)  # column pruning on the scan
+
+
+def test_merge_upsert_one_shuffle_no_cartesian(spark):
+    """MERGE semantics = tagged union + priority window: exactly one
+    exchange (on the merge key), never a join/cartesian."""
+    from multi_task_offensive_language_detection_spark.operators import upsert
+
+    t = spark.range(100).selectExpr("id AS k", "cast(id AS double) AS v")
+    u = spark.range(0, 100, 10).selectExpr("id AS k", "cast(id + 1000 AS double) AS v")
+    plan = _formatted_plan(upsert.merge_upsert(t, u, ["k"]), spark)
+    tree = _tree(plan)
+    assert len(re.findall(r"Exchange", tree)) == 1, tree
+    assert "CartesianProduct" not in plan and "Join" not in tree
+    assert "Window" in tree
