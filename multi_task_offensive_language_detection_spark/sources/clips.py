@@ -32,13 +32,20 @@ def write_clips(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "ove
 
 def list_parts(path: str) -> list[int]:
     """Partition ids present under a hive-partitioned root (driver-side
-    metadata listing — the offline stand-in for Iceberg's manifest scan)."""
+    metadata listing — the offline stand-in for Iceberg's manifest scan).
+
+    A missing root raises instead of returning [] — a typo'd --input
+    would otherwise look like a successfully-completed empty job."""
     if not os.path.isdir(path):
-        return []
+        raise FileNotFoundError(f"clips table root does not exist: {path}")
     out = []
     for d in os.listdir(path):
         if d.startswith("part_id="):
             out.append(int(d.split("=", 1)[1]))
+    if not out:
+        raise FileNotFoundError(
+            f"no part_id=* partitions under {path} — not a clips table root"
+        )
     return sorted(out)
 
 

@@ -143,3 +143,19 @@ def test_ledger_wall_time_is_job_level(spark, artifacts, small_clips, tmp_path):
     entries = Ledger(led).read_all().values()
     walls = {e.job_wall_ms for e in entries}
     assert len(walls) == 1 and walls.pop() > 0
+
+
+def test_missing_input_raises_not_silent_noop(spark, tmp_path):
+    import pytest
+
+    from multi_task_offensive_language_detection_spark.sources.clips import list_parts
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        list_parts(str(tmp_path / "nope"))
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError, match="part_id"):
+        list_parts(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        run_clips_pipeline(
+            spark, str(tmp_path / "nope"), str(tmp_path / "o"), str(tmp_path / "l")
+        )
