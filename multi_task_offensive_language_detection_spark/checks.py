@@ -1781,6 +1781,72 @@ def merge_upsert(spark, sf):
     return upsert.merge_upsert(c, updates, ["c_custkey"])
 
 
+def _cluster_pairs(spark, sf) -> DataFrame:
+    """Deterministic near-dup edge list over documents: every en doc is
+    paired with a +1e6 mutant; every 3rd also with a +2e6 mutant (star
+    components of size 2-3 — multi-hop leaf↔leaf paths included)."""
+    en = _t(spark, sf, "documents").filter(F.col("lang") == "en").select("doc_id")
+    p1 = en.select(
+        F.col("doc_id").alias("k1"), (F.col("doc_id") + 1000000).alias("k2")
+    )
+    p2 = (
+        en.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("k1"), (F.col("doc_id") + 2000000).alias("k2"))
+    )
+    return p1.unionByName(p2)
+
+
+@check(
+    "graph_connected_components",
+    """
+    WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+    SELECT doc_id AS node, doc_id AS comp FROM en
+    UNION ALL SELECT doc_id + 1000000, doc_id FROM en
+    UNION ALL SELECT doc_id + 2000000, doc_id FROM en WHERE doc_id % 3 = 0
+    """,
+)
+def graph_connected_components(spark, sf):
+    """Connected components by iterative min-label propagation — the
+    transitive-closure step between near-dup PAIR generation and
+    cluster-level dedup. On the star graph here the oracle closure is
+    enumerable without recursion; multi-hop chains are pinned by
+    tests/test_cluster.py."""
+    from .operators.cluster import connected_components
+
+    return connected_components(_cluster_pairs(spark, sf))
+
+
+@check(
+    "dedup_cluster_keep_best",
+    # the mutants always lose (strictly lower quality), isolated non-en
+    # docs pass through — cluster dedup must recover EXACTLY the originals
+    "SELECT doc_id, n_chars AS quality FROM documents",
+)
+def dedup_cluster_keep_best(spark, sf):
+    """End-to-end cluster dedup: corpus ∪ two generations of mutants,
+    near-dup edges as in graph_connected_components, keep the best-
+    quality representative per component."""
+    from .operators.cluster import keep_best_per_cluster
+
+    d = _t(spark, sf, "documents").select("doc_id", F.col("n_chars").alias("quality"))
+    en = d.join(
+        _t(spark, sf, "documents").filter(F.col("lang") == "en").select("doc_id"),
+        "doc_id",
+    )
+    mut1 = en.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("quality") - 8).alias("quality"),
+    )
+    mut2 = en.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        (F.col("quality") - 16).alias("quality"),
+    )
+    corpus = d.unionByName(mut1).unionByName(mut2)
+    return keep_best_per_cluster(
+        corpus, _cluster_pairs(spark, sf), "doc_id", "quality"
+    )
+
+
 # =========================================================================
 # registration order
 # =========================================================================
