@@ -66,6 +66,66 @@ def stream_dedup(df: DataFrame, keys: list[str], delay: str = "1 hour") -> DataF
     return df.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
 
 
+def stateful_session_stats(
+    df: DataFrame, gap_minutes: int = 30, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """T6 — CUSTOM stateful sessionization via ``applyInPandasWithState``.
+
+    ``session_window`` (T3) covers plain gap-sessions natively; this is
+    the surface for session logic the built-ins can't express —
+    arbitrary Python state transitions per key with event-time timeout
+    emission. State per user = (n, sum, min_ts, max_ts); when the
+    watermark passes ``last_event + gap`` the session CLOSES and emits
+    one summary row, then the state is freed (bounded state: one small
+    tuple per open session, exactly the GroupState pattern a custom
+    quality/velocity gate needs at clip-stream scale)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, sum_value double, "
+        "session_start_s long, session_end_s long"
+    )
+    state_schema = "n long, s double, mn long, mx long"
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, s, mn, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "session_start_s": [mn],
+                    "session_end_s": [mx],
+                }
+            )
+            return
+        n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            epoch_s = pdf["ts"].astype("int64") // 1_000_000_000
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            lo, hi = int(epoch_s.min()), int(epoch_s.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        state.update((n, s, mn, mx))
+        # close the session once the event-time watermark passes the gap
+        state.setTimeoutTimestamp(mx * 1000 + gap_ms)
+
+    return (
+        df.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def read_events_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 

@@ -126,3 +126,53 @@ def test_stream_filter_clips_incremental(spark, artifacts, tmp_path):
     g = spark.read.parquet(golden).select("clip_id", F.col("keep").alias("keep_gold"))
     j = got.join(g, "clip_id")
     assert j.filter(F.col("keep") != F.col("keep_gold")).count() == 0
+
+
+def test_stateful_session_stats_emits_on_timeout(spark, tmp_path):
+    """T6 — applyInPandasWithState custom sessions: state accumulates
+    across a run, sessions emit only when the event-time watermark
+    passes last_event + gap (driven here by a later second batch), and
+    emitted stats are exact."""
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src, exist_ok=True)
+
+    def write(rows, name):
+        spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:05:00", 2.0),
+            (1, "2024-01-01 00:10:00", 3.0),
+            (2, "2024-01-01 00:05:00", 10.0),
+        ],
+        "b1",
+    )
+    schema = spark.read.parquet(src).schema
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+
+    def run():
+        stream = jobs.stateful_session_stats(
+            spark.readStream.schema(schema).parquet(src).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ),
+            gap_minutes=30,
+        )
+        jobs.run_available_now(stream, ckpt, out)
+
+    run()
+    # watermark after batch 1 = 00:10; no session is 30 min stale yet
+    assert spark.read.parquet(out).count() == 0
+
+    # a much later event advances the watermark past both open sessions
+    write([(3, "2024-01-01 02:00:00", 0.5)], "b2")
+    run()
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [1, 2]
+    r1 = got[1]
+    assert r1["n_events"] == 3 and r1["sum_value"] == 6.0
+    assert r1["session_end_s"] - r1["session_start_s"] == 600
+    assert got[2]["n_events"] == 1 and got[2]["sum_value"] == 10.0
+    # user 3's session is still open — held in state, not emitted
