@@ -61,11 +61,19 @@ def scrub_pii(col: Column) -> Column:
 
     Each pass is guarded by a cheap containment scan — identical output,
     no string rebuild for the (majority) rows the pattern can't match.
-    """
+
+    Guards scan the ORIGINAL column, not the evolving expression. That
+    is a superset trigger for every pass (no replacement ever introduces
+    an @, a digit, or http/www that the original lacked — '<EMAIL>',
+    'URL', '<IP>', '<SSN>', '<PHONE>' are letter-only tokens and '@USER'
+    is the final pass), so the output is identical — and each chain step
+    references the previous expression twice instead of three times,
+    keeping the generated code well under the codegen huge-method cliff
+    (a deeper variant measurably fell off it: whole job +45%)."""
     out = col
     for pat, repl in PII_CHAIN:
         guard = _GUARDS[repl]
-        out = F.when(guard(out), F.regexp_replace(out, pat, repl)).otherwise(out)
+        out = F.when(guard(col), F.regexp_replace(out, pat, repl)).otherwise(out)
     return out
 
 
