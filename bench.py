@@ -263,7 +263,13 @@ METHODOLOGY_LOG = (
 
 
 def write_baseline_md(
-    clips_rows: int, scale: dict, queries: dict, total: float, control: dict
+    clips_rows: int,
+    scale: dict,
+    queries: dict,
+    total: float,
+    control: dict,
+    skew: dict | None = None,
+    udf_split: dict | None = None,
 ) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     qlines = "\n".join(f"| {k} | {v:.3f} |" for k, v in queries.items())
@@ -359,6 +365,20 @@ Efficiency T2/(4 x T8) = {scale['trend_pair']['efficiency_median']:.3f}
 {walls_line(scale['trend_pair'], *TREND_PAIR)}. (r1: 0.641, r2: 0.715 —
 both min-wall.)
 
+## Skew + stage-share evidence (M8 promises, BASELINE.md)
+
+- Salted-repartition spread over {skew and skew['salt_buckets']} salt
+  buckets (bytes of transcript per bucket): max/median =
+  {skew and skew['bytes_per_bucket_max_over_median']}, min/median =
+  {skew and skew['bytes_per_bucket_min_over_median']} — the
+  xxhash64 salt equalizes bytes/task, which is the property AQE cannot
+  provide for map-stage cost (SURVEY §4.3).
+- UDF vs native split at local[{CPUS}] on the same salted input:
+  native (scan+salt+PII) {udf_split and udf_split['native_stage_s']}s,
+  full scoring {udf_split and udf_split['full_score_s']}s → Python
+  (Arrow) stage share ≈
+  {udf_split and udf_split['python_stage_share']}.
+
 ## Methodology changes by round (trend attribution)
 
 {meth}
@@ -413,13 +433,57 @@ def main() -> None:
         # the UDF columns away and time nothing)
         df.write.mode("overwrite").format("noop").save()
         qtimes[name] = round(time.monotonic() - t0, 3)
+
+    # -- M8 promised evidence (BASELINE.md): salt-skew spread + UDF share --
+    from pyspark.sql import functions as F
+
+    from multi_task_offensive_language_detection_spark.artifacts_build import build_all
+    from multi_task_offensive_language_detection_spark.functions.scrub import scrub_pii
+    from multi_task_offensive_language_detection_spark.plans.pipeline import (
+        salted_repartition,
+        score_transcripts,
+    )
+
+    clips_df = spark.read.parquet(clips_path).select("clip_id", "dur_ms", "transcript", "part_id")
+    ns = int(CPUS) * 4
+    r = (
+        clips_df.groupBy(F.pmod(F.xxhash64("clip_id"), F.lit(ns)).alias("salt"))
+        .agg(F.sum(F.length("transcript")).alias("bytes"))
+        .agg(
+            F.max("bytes").alias("mx"),
+            F.expr("percentile_approx(bytes, 0.5)").alias("md"),
+            F.min("bytes").alias("mn"),
+        )
+        .collect()[0]
+    )
+    skew = {
+        "salt_buckets": ns,
+        "bytes_per_bucket_max_over_median": round(r["mx"] / r["md"], 4),
+        "bytes_per_bucket_min_over_median": round(r["mn"] / r["md"], 4),
+    }
+    salted = salted_repartition(clips_df, int(CPUS) * 2)
+    t0 = time.monotonic()
+    salted.withColumn("_pii", scrub_pii(F.col("transcript"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    t_native = time.monotonic() - t0
+    t0 = time.monotonic()
+    score_transcripts(salted, "transcript", build_all(), dur_ms_col="dur_ms").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    t_full = time.monotonic() - t0
+    udf_split = {
+        "native_stage_s": round(t_native, 2),
+        "full_score_s": round(t_full, 2),
+        "python_stage_share": round(max(t_full - t_native, 0.0) / t_full, 3),
+    }
     spark.stop()
 
     scale = run_scaling(clips_path)
     control = run_control()
     total = round(sum(qtimes.values()), 3)
     scale_rows = BENCH_CLIP_ROWS * SCALE_TILE
-    write_baseline_md(scale_rows, scale, qtimes, total, control)
+    write_baseline_md(scale_rows, scale, qtimes, total, control, skew, udf_split)
 
     cores_measured = sorted(c for c in scale if isinstance(c, int))
     clips_blob = {
@@ -450,6 +514,8 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": SF_DIR,
                 "clips": clips_blob,
+                "skew": skew,
+                "udf_native_split": udf_split,
                 "methodology": list(METHODOLOGY_LOG),
             }
         )
