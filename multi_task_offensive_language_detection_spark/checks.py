@@ -1847,6 +1847,54 @@ def dedup_cluster_keep_best(spark, sf):
     )
 
 
+@check(
+    "join_full_outer",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey % 5 = 0) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 3 = 0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark, sf):
+    """J3 completion — full outer keeps unmatched rows of BOTH sides
+    (sort-merge at scale; null-padded minority sides)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") % 5 == 0)
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") % 3 == 0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@check(
+    "null_handling",
+    """
+    SELECT doc_id,
+           coalesce(NULLIF(lang, 'en'), 'OTHER') AS lang_other,
+           CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END AS gappy,
+           coalesce(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END, -1)
+             AS filled,
+           (CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END) IS NULL
+             AS was_null
+    FROM documents
+    """,
+)
+def null_handling(spark, sf):
+    """Engine null surface: nullif / coalesce / isNull as native exprs
+    (na.fill and na.drop compile to exactly these)."""
+    d = _t(spark, sf, "documents")
+    gappy = F.when(F.col("n_chars") % 7 == 0, F.lit(None)).otherwise(F.col("n_chars"))
+    return d.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.col("lang"), F.lit("en")), F.lit("OTHER")).alias(
+            "lang_other"
+        ),
+        gappy.alias("gappy"),
+        F.coalesce(gappy, F.lit(-1)).alias("filled"),
+        gappy.isNull().alias("was_null"),
+    )
+
+
 # =========================================================================
 # registration order
 # =========================================================================
