@@ -125,7 +125,12 @@ def char_stats_batch(
       no qualifying 3-run or empty text.
 
     NUL bytes are mapped to ' ' before the blob join (the repo-wide
-    separator convention, functions/hashing.py)."""
+    separator convention, functions/hashing.py). Known divergence from
+    the old JVM expressions, documented rather than chased: for
+    supplementary-plane chars (emoji) Python len() counts code points
+    while JVM length() counts UTF-16 units, so rep_char_ratio's
+    denominator differs on astral-bearing rows (caps_ratio is immune —
+    the U+ offsets cancel). Transcripts and fixtures are BMP-only."""
     n = len(texts)
     if n == 0:
         e = np.empty(0)
