@@ -262,20 +262,28 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], dict]:
         raise ValueError("not a RIFF/AVI stream")
     w = h = bpp = None
     fps = 0.0
+    top_down = False  # negative biHeight = top-down DIB (rows already in order)
+    vid_stream = None  # index of the first 'vids' strl — frame chunks are '<NN>db'
     frames: list[np.ndarray] = []
 
     def parse_hdrl(s: int, e: int) -> None:
-        nonlocal w, h, bpp, fps
+        nonlocal w, h, bpp, fps, top_down, vid_stream
+        idx = -1
         for cc, p, sz in _walk_chunks(data, s, e):
             if cc == b"LIST" and data[p : p + 4] == b"strl":
+                idx += 1
+                if vid_stream is not None:
+                    continue  # first video stream wins; later strls ignored
+                is_vids = False
                 for cc2, p2, sz2 in _walk_chunks(data, p + 4, p + sz):
                     if cc2 == b"strh" and sz2 >= 32:
-                        if data[p2 : p2 + 4] != b"vids":
-                            return  # audio/other stream: ignore whole strl
+                        is_vids = data[p2 : p2 + 4] == b"vids"
+                        if not is_vids:
+                            break  # audio/other stream: skip THIS strl only
                         scale, rate = struct.unpack_from("<II", data, p2 + 20)
                         if scale:
                             fps = rate / scale
-                    elif cc2 == b"strf" and sz2 >= 40:
+                    elif cc2 == b"strf" and sz2 >= 40 and is_vids:
                         _, bw, bh, _, b_bpp, comp = struct.unpack_from(
                             "<IiiHHI", data, p2
                         )
@@ -284,6 +292,8 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], dict]:
                                 f"unsupported AVI video format bpp={b_bpp} comp={comp}"
                             )
                         w, h, bpp = bw, abs(bh), b_bpp
+                        top_down = bh < 0
+                        vid_stream = idx
 
     movi_ranges: list[tuple[int, int]] = []
     for cc, p, sz in _walk_chunks(data, 12, len(data)):
@@ -296,13 +306,16 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], dict]:
     if w is None or not movi_ranges:
         raise ValueError("AVI missing video headers or movi list")
     stride = (w * 3 + 3) & ~3
+    pref = b"%02d" % vid_stream  # e.g. '01db' when audio is stream 0
     for s, e in movi_ranges:
         for cc, p, sz in _walk_chunks(data, s, e):
-            if cc in (b"00db", b"00dc"):
+            if cc in (pref + b"db", pref + b"dc"):
                 if sz < stride * h:
                     raise ValueError("truncated AVI frame chunk")
                 rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=p)
-                rgb = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+                rgb = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+                if not top_down:
+                    rgb = rgb[::-1]  # bottom-up DIB: last stored row is the top
                 frames.append(np.ascontiguousarray(rgb))
     return frames, {"width": w, "height": h, "fps": fps, "n_frames": len(frames)}
 

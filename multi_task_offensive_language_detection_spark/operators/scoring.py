@@ -101,7 +101,15 @@ def _normalize_batch(texts: pd.Series) -> pd.Series:
     exactly the runs Java's ``\\s+`` matched (same 5-char class); after
     the collapse every edge run is a single ' ', which ``strip(' ')``
     removes just like Spark's space-only ``trim``. Unicode whitespace
-    (e.g. NBSP) stays inside tokens on both paths."""
+    (e.g. NBSP) stays inside tokens on both paths.
+
+    NULL semantics — INTENDED divergence from the JVM twins: a NULL text
+    is coerced to '' here (``fillna``), so a NULL transcript scores
+    exactly like an empty one and is dropped by the length gate with a
+    concrete reason, instead of propagating NULL through every score
+    column (a quality filter must DECIDE on every row; NULL-in/NULL-out
+    would leak undecided rows into keep/drop). Pinned by
+    tests/test_scoring_properties.py::test_null_text_scores_as_empty."""
     return texts.fillna("").map(lambda t: _norm_one(str(t)))
 
 

@@ -17,17 +17,28 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(
-    target: DataFrame, updates: DataFrame, keys: list[str]
+    target: DataFrame, updates: DataFrame, keys: list[str], tiebreak: str | None = None
 ) -> DataFrame:
     """Rows from ``updates`` replace same-key rows of ``target``; unmatched
     update rows are inserted; everything else passes through.
 
-    Deterministic: priority column, not dropDuplicates' arbitrary pick.
+    Deterministic between the two sources: the priority column (not
+    dropDuplicates' arbitrary pick) guarantees an update always beats the
+    target row. WITHIN ``updates``, ANSI MERGE requires at most one source
+    row per key (multiple matches are a runtime error in real MERGE
+    engines); callers that cannot guarantee that must pass ``tiebreak`` —
+    a column ordered DESC after the priority — so the surviving duplicate
+    is stable. Without it, ties among duplicate update keys are broken
+    arbitrarily by shuffle order.
+
     Schemas must be union-compatible (``unionByName``)."""
     tagged = updates.withColumn("_src", F.lit(2)).unionByName(
         target.withColumn("_src", F.lit(1))
     )
-    w = W.partitionBy(*keys).orderBy(F.col("_src").desc())
+    order = [F.col("_src").desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = W.partitionBy(*keys).orderBy(*order)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -119,7 +119,11 @@ def score_transcripts(
             "caps_ratio": F.col("pyscores.caps_ratio"),
             "rep_char_run": F.col("pyscores.rep_char_run"),
             "rep_char_ratio": F.col("pyscores.rep_char_ratio"),
-            "n_chars": F.length(raw),
+            # NULL transcript ≡ empty (the fused UDF's documented coercion,
+            # operators/scoring.py _normalize_batch): a bare length(NULL)
+            # would NULL-out the length gate and let the row fall through
+            # to langid — coalescing to 0 keeps the decision path coherent
+            "n_chars": F.coalesce(F.length(raw), F.lit(0)),
         }
     )
 

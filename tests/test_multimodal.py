@@ -125,6 +125,58 @@ def test_avi_handcrafted_bytes_decode_exactly():
     assert (frames[0][0, 1] == [0, 128, 64]).all()
 
 
+def test_avi_top_down_dib_negative_biheight():
+    # spec-valid top-down DIB: biHeight < 0 means rows are stored
+    # top-first and must NOT be flipped on decode
+    rng = np.random.default_rng(31)
+    frame = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    data = bytearray(encode_avi([frame]))
+    strf_off = bytes(data).find(b"strf") + 8
+    struct.pack_into("<i", data, strf_off + 8, -4)  # biHeight = -H
+    out, meta = decode_avi(bytes(data))
+    assert meta["height"] == 4
+    # the encoder stored bottom-up rows; a top-down reader takes them
+    # verbatim, so the decode is the vertical mirror of the original
+    assert (out[0] == frame[::-1]).all()
+
+
+def test_avi_audio_first_stream_order():
+    # stream 0 = audio ('auds'), stream 1 = video: headers must skip the
+    # audio strl (not abort), and frames arrive as '01db' chunks
+    def chunk(cc, payload):
+        return cc + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) % 2 else b""
+        )
+
+    avih = struct.pack("<14I", 40000, 0, 0, 0, 1, 0, 2, 8, 2, 1, 0, 0, 0, 0)
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 1, 0, 0, 0, 0,
+    )
+    # oversized fake WAVEFORMATEX (≥40 B) — must not be parsed as a BITMAPINFOHEADER
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x00" * 32
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, 1, 8, 0, 0, 0, 0, 2, 1,
+    )
+    strf_v = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 0, 0, 0, 0)
+    hdrl = chunk(
+        b"LIST",
+        b"hdrl" + chunk(b"avih", avih)
+        + chunk(b"LIST", b"strl" + chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+        + chunk(b"LIST", b"strl" + chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    px = bytes([0, 0, 255, 64, 128, 0, 0, 0])  # BGR BGR + row pad
+    movi = chunk(b"LIST", b"movi" + chunk(b"00wb", b"\x80" * 4) + chunk(b"01db", px))
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames, meta = decode_avi(data)
+    assert meta["width"] == 2 and meta["height"] == 1
+    assert len(frames) == 1
+    assert (frames[0][0, 0] == [255, 0, 0]).all()
+    assert (frames[0][0, 1] == [0, 128, 64]).all()
+
+
 def test_avi_rejects_non_avi_and_compressed():
     with pytest.raises(ValueError):
         decode_avi(b"RIFF\x04\x00\x00\x00WAVE")

@@ -206,6 +206,41 @@ def test_normalize_batch_matches_jvm_expression(spark):
         assert got.iloc[i] == jvm[i], (i, repr(_ADVERSARIAL[i]), repr(got.iloc[i]), repr(jvm[i]))
 
 
+def test_null_text_scores_as_empty(spark):
+    """NULL-coercion pin (ADVICE r3): the fused UDF treats a NULL text as
+    '' — the INTENDED semantic (a quality filter decides every row; the
+    JVM twins would propagate NULL instead, asserted below so the
+    divergence stays visible)."""
+    from pyspark.sql import functions as F
+
+    from multi_task_offensive_language_detection_spark.functions import text as FT
+    from multi_task_offensive_language_detection_spark.plans.pipeline import (
+        score_transcripts,
+    )
+
+    df = spark.createDataFrame(
+        [("null_row", None), ("empty_row", "")], "clip_id string, transcript string"
+    )
+    rows = {r["clip_id"]: r for r in score_transcripts(df).collect()}
+    nul, emp = rows["null_row"], rows["empty_row"]
+    assert nul["keep"] == emp["keep"] is False
+    assert nul["drop_reason"] == emp["drop_reason"] == "length"  # same gate
+    assert nul["scores"] == emp["scores"]
+    # the scrub chain stays NULL-preserving (the row is dropped anyway;
+    # fabricating '' for a NULL input would violate faithfulness)
+    assert nul["scrubbed_transcript"] is None
+    assert emp["scrubbed_transcript"] == ""
+    # the JVM twins, by contrast, are NULL-propagating — documented divergence
+    jvm = df.select(
+        "clip_id",
+        FT.caps_ratio(F.col("transcript")).alias("caps"),
+        FT.normalize_ws(FT.lower_guarded(F.col("transcript"))).alias("n"),
+    ).collect()
+    jn = {r["clip_id"]: r for r in jvm}
+    assert jn["null_row"]["caps"] is None and jn["null_row"]["n"] is None
+    assert jn["empty_row"]["caps"] == 0.0 and jn["empty_row"]["n"] == ""
+
+
 @given(
     st.text(
         alphabet=st.sampled_from(

@@ -26,6 +26,23 @@ def test_merge_upsert_composite_key(spark):
     assert out == {(1, "x"): 1.0, (1, "y"): 5.0}
 
 
+def test_merge_upsert_duplicate_update_keys_tiebreak_is_deterministic(spark):
+    # ANSI MERGE forbids duplicate source keys; when a caller has them
+    # anyway, the tiebreak column makes the surviving row stable
+    target = spark.createDataFrame([(1, "old", 0.0)], "k long, name string, ver double")
+    updates = spark.createDataFrame(
+        [(1, "v1", 1.0), (1, "v3", 3.0), (1, "v2", 2.0), (2, "n1", 1.0), (2, "n2", 2.0)],
+        "k long, name string, ver double",
+    )
+    for _ in range(3):  # stable across repeated plans/shuffles
+        out = {
+            r["k"]: r
+            for r in upsert.merge_upsert(target, updates, ["k"], tiebreak="ver").collect()
+        }
+        assert out[1]["name"] == "v3" and out[1]["ver"] == 3.0
+        assert out[2]["name"] == "n2"
+
+
 def test_merge_delete_anti_join(spark):
     target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, name string")
     deletes = spark.createDataFrame([(2, "ignored")], "k long, other string")
