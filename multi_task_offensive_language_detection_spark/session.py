@@ -43,6 +43,17 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=true (the default) stops AQE from coalescing
+        # below defaultParallelism, so every tiny post-shuffle stage pays
+        # one task per core of scheduling + Arrow/Python overhead. The
+        # Spark tuning guide itself recommends false on busy clusters;
+        # with it, reduce-task count follows DATA SIZE (16 MB advisory —
+        # small enough to keep compute-heavy stages parallel, large
+        # enough that metadata-sized shuffles collapse to one task).
+        # A/B at sf0.1 local[32]: every headline query improved, total
+        # 14.2->10.3s and 11.4->9.7s back-to-back (r4).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ~10k rows per Arrow batch keeps the pandas-UDF stages (langid,
