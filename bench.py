@@ -134,7 +134,13 @@ SCALE_PAIR = (1, 4)
 #: vs local[32] (whole box), efficiency (T_8/T_32)/4. On this VM the
 #: pair straddles the memory-bus knee, so the number quantifies the
 #: platform ceiling — the same-pair zero-Spark kernels control
-#: separates that ceiling from the plan.
+#: separates that ceiling from the plan. r4 localization
+#: (tools/spec_pair_experiments.py, interleaved): data-sized AQE
+#: reduce tasks moved the pair 0.23 -> ~0.40; per-level medians put
+#: Spark's own knee at ~16 cores (8->16 eff 0.70, flat after), GC
+#: threads are worth ~2%, and halving the salted-stage task count is
+#: NOT a win — the residual vs the 0.75 kernels control is the
+#: 2-runnable-threads-per-slot structure on one shared bus.
 SPEC_PAIR = (8, 32)
 #: the 2→8 trend pair (VERDICT r2 #2 tracks it across rounds) — also
 #: interleaved, so the ratio is never derived from different epochs.
@@ -196,10 +202,49 @@ def _run_pair(clips_path: str, lo: int, hi: int, trials: int) -> dict:
     }
 
 
+#: cross-run pool of structural-pair trial ratios (VERDICT r3 #1): every
+#: bench run APPENDS its interleaved trials here, and the ONE number all
+#: documents quote is the median over the whole pool — no run (good or
+#: bad epoch) gets to be "the" number. Seeded with the r3 driver-run
+#: trials, the only per-trial ratios recorded in committed artifacts
+#: (earlier rounds published min-wall ratios, a different statistic).
+POOL_PATH = os.path.join(REPO, "BENCH", "scaling_trials.jsonl")
+
+
+def append_pool(pair: tuple[int, int], ratios: list[float], source: str) -> None:
+    os.makedirs(os.path.dirname(POOL_PATH), exist_ok=True)
+    with open(POOL_PATH, "a") as f:
+        f.write(json.dumps({"source": source, "pair": list(pair), "ratios": ratios}) + "\n")
+
+
+def pooled_stat(pair: tuple[int, int]) -> dict:
+    ratios: list[float] = []
+    runs = 0
+    if os.path.exists(POOL_PATH):
+        with open(POOL_PATH) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("pair") == list(pair):
+                    ratios.extend(rec["ratios"])
+                    runs += 1
+    if not ratios:
+        return {"n_trials": 0}
+    return {
+        "median": round(_median(ratios), 3),
+        "min": round(min(ratios), 3),
+        "max": round(max(ratios), 3),
+        "n_trials": len(ratios),
+        "n_runs": runs,
+    }
+
+
 def run_scaling(clips_path: str) -> dict:
     res: dict = {}
     n, n4 = SCALE_PAIR
-    pair = _run_pair(clips_path, n, n4, trials=3)
+    # >=5 interleaved trials per run (VERDICT r3 #1) feeding the pool
+    pair = _run_pair(clips_path, n, n4, trials=5)
+    append_pool(SCALE_PAIR, pair["ratios"], source="bench_run")
+    res["pooled"] = pooled_stat(SCALE_PAIR)
     res["pair"] = pair
     n_in = pair["n_in"]
     for c in (n, n4):
@@ -259,6 +304,13 @@ METHODOLOGY_LOG = (
     "still reported); added the spec pair local[8] vs local[32] and the "
     "2->8 trend pair, each interleaved, with zero-Spark kernel controls "
     "at the same levels.",
+    "r4: headline queries are medians of 3 consecutive runs (band "
+    "published); structural pair raised to 5 interleaved trials per run, "
+    "appended to the cross-run pool BENCH/scaling_trials.jsonl whose "
+    "pooled median is now THE published scaling statistic; session AQE "
+    "defaults changed (parallelismFirst=false, 16 MB advisory) — part "
+    "of the r3->r4 headline drop is those defaults, part is the LSH "
+    "pair-generation rewrite.",
 )
 
 
@@ -270,9 +322,13 @@ def write_baseline_md(
     control: dict,
     skew: dict | None = None,
     udf_split: dict | None = None,
+    qruns: dict | None = None,
 ) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    qlines = "\n".join(f"| {k} | {v:.3f} |" for k, v in queries.items())
+    qlines = "\n".join(
+        f"| {k} | {v:.3f} | {', '.join(f'{r:.2f}' for r in (qruns or {}).get(k, []))} |"
+        for k, v in queries.items()
+    )
     n, n4 = SCALE_PAIR
     s_lo, s_hi = SPEC_PAIR
     cores_sorted = sorted({n, n4, s_lo, s_hi, *TREND_PAIR} & set(scale))
@@ -319,9 +375,16 @@ All efficiencies are medians of per-trial ratios over interleaved
 
 ### Structural N -> 4N executor proxy: 1 -> 4 pinned cores
 
-**Efficiency T1/(4 x T4) = {pair['efficiency_median']:.3f} (median)**,
-{pair['efficiency_minwall']:.3f} (min-wall) — target >= 0.8
-(BASELINE.json:2). {walls_line(pair, n, n4)}.
+**THE number (pooled across every recorded interleaved trial, all
+runs, BENCH/scaling_trials.jsonl): efficiency T1/(4 x T4) =
+{scale['pooled'].get('median')} median over {scale['pooled'].get('n_trials')}
+trials from {scale['pooled'].get('n_runs')} runs, band
+[{scale['pooled'].get('min')}, {scale['pooled'].get('max')}] — target >= 0.8
+(BASELINE.json:2).** BASELINE.md and SURVEY.md cite THIS statistic;
+no single run's median is quoted as the criterion anywhere.
+
+This run: {pair['efficiency_median']:.3f} (median of this run's trials),
+{pair['efficiency_minwall']:.3f} (min-wall). {walls_line(pair, n, n4)}.
 
 Round-over-round note: per-core throughput ROSE at every level this
 round (the Arrow-stage restructure), and the ratio moved the way the
@@ -354,6 +417,15 @@ runnable threads on one shared bus), so it measures the PLATFORM
 ceiling; the same-pair control quantifies how much:
 
 {ctrl}
+- r4 component breakdown (tools/spec_pair_experiments.py, interleaved
+  2-trial medians): data-sized AQE reduce tasks (session defaults
+  since r4) moved this pair 0.23 -> ~0.40; per-level walls put
+  Spark's knee at ~16 cores (8->16 efficiency 0.70, flat 16->32);
+  -XX:ParallelGCThreads=4 adds ~2%; HALVING the salted-stage task
+  count does not help. The remaining gap to the kernels control is
+  the JVM-task-thread + Python-worker pair per slot (64 runnable
+  threads at 32 slots) on one shared bus — a structure real
+  multi-host executors do not stack on a single memory system.
 - The plan itself is scale-invariant: one keyed salt shuffle before
   scoring, one clustering exchange before the write, no driver-side
   loops, no per-row Python outside the single Arrow stage.
@@ -385,10 +457,10 @@ both min-wall.)
 
 ## Headline queries at {SF_DIR} (local[{CPUS}])
 
-| query | sec |
-| --- | --- |
+| query | median (s) | runs (s) |
+| --- | --- | --- |
 {qlines}
-| **total** | **{total:.3f}** |
+| **total (of medians)** | **{total:.3f}** | |
 
 Reference throughput: none published (the reference is a GPU training
 repo, SURVEY.md §6); the binding targets are the scaling efficiency above
@@ -424,15 +496,26 @@ def main() -> None:
     # ...and the scale-run input (OS page cache is process-agnostic; the
     # pinned subprocesses rely on this warm)
     spark.read.parquet(clips_path).write.mode("overwrite").format("noop").save()
+    # median of 3 runs per query (VERDICT r3 #4): a single shot cannot be
+    # told apart from this VM's ±15-30% epoch swings; the full band is
+    # published alongside so a regression is visible as a band shift, not
+    # a point jump. Runs are per-query-consecutive (a,a,a,b,b,b…): the
+    # alternative abc-abc-abc interleaving would charge every query the
+    # cross-query cache eviction cost.
     qtimes: dict[str, float] = {}
+    qruns: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = checks.QUERIES[name]
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        # noop sink: forces EVERY column (count() would let Catalyst prune
-        # the UDF columns away and time nothing)
-        df.write.mode("overwrite").format("noop").save()
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            # noop sink: forces EVERY column (count() would let Catalyst
+            # prune the UDF columns away and time nothing)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(round(time.monotonic() - t0, 3))
+        qruns[name] = runs
+        qtimes[name] = round(_median(runs), 3)
 
     # -- M8 promised evidence (BASELINE.md): salt-skew spread + UDF share --
     from pyspark.sql import functions as F
@@ -483,7 +566,7 @@ def main() -> None:
     control = run_control()
     total = round(sum(qtimes.values()), 3)
     scale_rows = BENCH_CLIP_ROWS * SCALE_TILE
-    write_baseline_md(scale_rows, scale, qtimes, total, control, skew, udf_split)
+    write_baseline_md(scale_rows, scale, qtimes, total, control, skew, udf_split, qruns)
 
     cores_measured = sorted(c for c in scale if isinstance(c, int))
     clips_blob = {
@@ -493,7 +576,8 @@ def main() -> None:
             for c in cores_measured
         },
         "scale_pair": list(SCALE_PAIR),
-        "scaling_efficiency": scale["efficiency"],  # median of trial ratios
+        "scaling_efficiency": scale["efficiency"],  # median of THIS run's trials
+        "scaling_pooled": scale["pooled"],  # THE statistic: cross-run pool
         "pair_trial_ratios": scale.get("pair_trial_ratios"),
         "pair_efficiency_minwall": scale["pair"]["efficiency_minwall"],
         "spec_pair": list(SPEC_PAIR),
@@ -512,6 +596,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
+                "queries_runs": qruns,
                 "sf": SF_DIR,
                 "clips": clips_blob,
                 "skew": skew,

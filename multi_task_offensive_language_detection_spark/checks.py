@@ -1059,15 +1059,14 @@ def pipeline_documents(spark, sf):
     )
 
 
-def _rules_pipeline_sql() -> str:
-    """DuckDB mirror of the rules-only flagship variant below — the exact
-    PII chain, normalization, token/caps/toxicity scores and gate priority,
-    minus the two model gates (langid/ppl, which are not SQL)."""
-    from .lexicons import PROFANITY, THRESHOLDS as TH
+def _pii_sc_ctes() -> str:
+    """The shared pii → nrm → sc CTE block (exact PII chain,
+    normalization, and every SQL-recomputable score) used by both
+    flagship oracles below."""
+    from .lexicons import PROFANITY
 
     prof_pat = r"\\b(" + "|".join(PROFANITY) + r")\\b"
-    return f"""
-    WITH pii AS (
+    return f"""pii AS (
       SELECT doc_id, text,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(regexp_replace(text,
@@ -1094,24 +1093,29 @@ def _rules_pipeline_sql() -> str:
                   ELSE length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
                        / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END AS caps,
              len(regexp_extract_all(norm, '{prof_pat}')) AS prof
-      FROM nrm)
+      FROM nrm)"""
+
+
+def _rules_pipeline_sql() -> str:
+    """DuckDB mirror of the rules-only flagship variant below — the exact
+    PII chain, normalization, token/caps/toxicity scores and gate priority,
+    minus the two model gates (langid/ppl, which are not SQL)."""
+    from .lexicons import PROFANITY, THRESHOLDS as TH
+
+    prof_pat = r"\\b(" + "|".join(PROFANITY) + r")\\b"
+    gate = f"""CASE WHEN n_chars < {TH["len_min_chars"]} OR n_chars > {TH["len_max_chars"]}
+                     THEN 'length'
+                WHEN rep_tok > {TH["rep_tok_ratio_max"]} THEN 'repetition'
+                WHEN caps > {TH["caps_ratio_max"]} THEN 'caps'
+                WHEN prof >= {TH["toxicity_max_hits"]}
+                     OR prof * 1.0 >= {TH["toxicity_max_density"]} * greatest(n_tokens, 1)
+                     THEN 'toxicity'
+                ELSE NULL END"""
+    return f"""
+    WITH {_pii_sc_ctes()}
     SELECT doc_id,
-           CASE WHEN n_chars < {TH["len_min_chars"]} OR n_chars > {TH["len_max_chars"]}
-                     THEN 'length'
-                WHEN rep_tok > {TH["rep_tok_ratio_max"]} THEN 'repetition'
-                WHEN caps > {TH["caps_ratio_max"]} THEN 'caps'
-                WHEN prof >= {TH["toxicity_max_hits"]}
-                     OR prof * 1.0 >= {TH["toxicity_max_density"]} * greatest(n_tokens, 1)
-                     THEN 'toxicity'
-                ELSE NULL END AS drop_reason,
-           (CASE WHEN n_chars < {TH["len_min_chars"]} OR n_chars > {TH["len_max_chars"]}
-                     THEN 'length'
-                WHEN rep_tok > {TH["rep_tok_ratio_max"]} THEN 'repetition'
-                WHEN caps > {TH["caps_ratio_max"]} THEN 'caps'
-                WHEN prof >= {TH["toxicity_max_hits"]}
-                     OR prof * 1.0 >= {TH["toxicity_max_density"]} * greatest(n_tokens, 1)
-                     THEN 'toxicity'
-                ELSE NULL END) IS NULL AS keep,
+           {gate} AS drop_reason,
+           ({gate}) IS NULL AS keep,
            CASE WHEN prof > 0
                 THEN regexp_replace(pii, '(?i){prof_pat}', '<PROFANITY>', 'g')
                 ELSE pii END AS scrubbed_transcript,
@@ -1120,6 +1124,60 @@ def _rules_pipeline_sql() -> str:
            n_tokens,
            prof AS profanity_hits
     FROM sc
+    """
+
+
+#: committed side table of the fused UDF's non-SQL kernel outputs
+#: (tools/build_flagship_fixture.py; keyed by (corpus_sig, doc_id) so one
+#: static SQL string serves every scale factor)
+_FLAGSHIP_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "data",
+    "flagship_scores.parquet",
+)
+
+
+def _full_pipeline_sql() -> str:
+    """DuckDB mirror of the COMPLETE flagship decision (VERDICT r3 #5):
+    every deterministic gate recomputed from scratch (same CTEs as the
+    rules oracle) plus the three kernel columns no ANSI SQL can derive —
+    langid lang/conf, perplexity, and the Java-backref char-run flag —
+    read from the pinned fixture parquet. What this verifies end-to-end:
+    the full six-gate priority order (length → langid → repetition →
+    caps → perplexity → toxicity), threshold application, and keep/drop
+    derivation over the production UDF's actual outputs."""
+    from .lexicons import THRESHOLDS as TH
+
+    gate = f"""CASE WHEN n_chars < {TH["len_min_chars"]} OR n_chars > {TH["len_max_chars"]}
+                     THEN 'length'
+                WHEN lang <> 'en' THEN 'langid'
+                WHEN rep_char_run OR rep_tok > {TH["rep_tok_ratio_max"]}
+                     THEN 'repetition'
+                WHEN caps > {TH["caps_ratio_max"]} THEN 'caps'
+                WHEN ppl > {TH["ppl_max"]} THEN 'perplexity'
+                WHEN prof >= {TH["toxicity_max_hits"]}
+                     OR prof * 1.0 >= {TH["toxicity_max_density"]} * greatest(n_tokens, 1)
+                     THEN 'toxicity'
+                ELSE NULL END"""
+    return f"""
+    WITH fx AS (
+      SELECT doc_id, lang, conf, ppl, rep_char_run
+      FROM read_parquet('{_FLAGSHIP_FIXTURE}')
+      WHERE corpus_sig = (SELECT sum(doc_id * n_chars) FROM documents)),
+    {_pii_sc_ctes()},
+    j AS (
+      SELECT sc.doc_id, sc.n_chars, sc.n_tokens, sc.rep_tok, sc.caps,
+             sc.prof, fx.lang, fx.conf, fx.ppl, fx.rep_char_run
+      FROM sc JOIN fx ON sc.doc_id = fx.doc_id)
+    SELECT doc_id,
+           {gate} AS drop_reason,
+           ({gate}) IS NULL AS keep,
+           lang,
+           round(conf, 6) AS conf,
+           round(ppl, 6) AS ppl
+    FROM j
     """
 
 
@@ -1185,6 +1243,239 @@ def pipeline_documents_rules(spark, sf):
         F.round(F.col("_rep_tok"), 6).alias("rep_tok_ratio"),
         F.col("_n_tokens").alias("n_tokens"),
         F.col("_prof").alias("profanity_hits"),
+    )
+
+
+@check("pipeline_documents_full", _full_pipeline_sql())
+def pipeline_documents_full(spark, sf):
+    """The COMPLETE flagship decision as a full-oracle key: the
+    production score_transcripts path (fused Arrow UDF + native gates),
+    with langid + perplexity + char-run included — the two model gates
+    that pipeline_documents_rules had to leave out. The oracle recomputes
+    every deterministic gate in SQL and reads the pinned kernel columns
+    (tests/fixtures/data/flagship_scores.parquet) for the rest; the
+    kernel VALUES are guarded against drift by
+    tests/test_golden_decisions.py::test_flagship_fixture_matches_live_kernels
+    (regenerate with tools/build_flagship_fixture.py after any
+    artifact/kernel change — ARTIFACT_VERSION bumps invalidate it)."""
+    from .artifacts_build import build_all
+    from .plans.pipeline import score_transcripts
+
+    d = _t(spark, sf, "documents").withColumnRenamed("text", "transcript")
+    scored = score_transcripts(d, "transcript", build_all(), id_col="doc_id")
+    return scored.select(
+        "doc_id",
+        "drop_reason",
+        "keep",
+        F.col("scores.langid_lang").alias("lang"),
+        F.round("scores.langid_conf", 6).alias("conf"),
+        F.round("scores.ppl", 6).alias("ppl"),
+    )
+
+
+def _stateful_session_sql() -> str:
+    """Oracle for the applyInPandasWithState check below — a pure-SQL
+    replay of the batch-driven custom-session semantics: the check feeds
+    the stream in two time-halves, so a user's first-half state closes
+    at the post-batch-1 no-data microbatch IFF its last event is more
+    than the gap older than the batch-1 watermark (max first-half ts);
+    users whose state survives merge their second-half events into the
+    same session. Sentinel batches close everything at the end, which
+    does not change any emitted row — only WHEN it is emitted."""
+    return """
+    WITH b AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value,
+             (SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+                    + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2
+              FROM events) AS split_s
+      FROM events),
+    h1 AS (SELECT user_id, count(*) AS n, sum(value) AS s,
+                  min(ep) AS mn, max(ep) AS mx
+           FROM b WHERE ep <= split_s GROUP BY user_id),
+    h2 AS (SELECT user_id, count(*) AS n, sum(value) AS s,
+                  min(ep) AS mn, max(ep) AS mx
+           FROM b WHERE ep > split_s GROUP BY user_id),
+    wm AS (SELECT max(ep) AS wm1 FROM b WHERE ep <= split_s),
+    split_users AS (  -- first-half state timed out before second half
+      SELECT h1.user_id FROM h1, wm WHERE h1.mx + 1800 < wm.wm1),
+    sessions AS (
+      SELECT user_id, n, s, mn, mx FROM h1
+      WHERE user_id IN (SELECT user_id FROM split_users)
+      UNION ALL
+      SELECT user_id, n, s, mn, mx FROM h2
+      WHERE user_id IN (SELECT user_id FROM split_users)
+      UNION ALL
+      SELECT COALESCE(h1.user_id, h2.user_id) AS user_id,
+             COALESCE(h1.n, 0) + COALESCE(h2.n, 0) AS n,
+             COALESCE(h1.s, 0) + COALESCE(h2.s, 0) AS s,
+             least(COALESCE(h1.mn, h2.mn), COALESCE(h2.mn, h1.mn)) AS mn,
+             greatest(COALESCE(h1.mx, h2.mx), COALESCE(h2.mx, h1.mx)) AS mx
+      FROM h1 FULL OUTER JOIN h2 USING (user_id)
+      WHERE COALESCE(h1.user_id, h2.user_id) NOT IN
+            (SELECT user_id FROM split_users))
+    SELECT user_id, n AS n_events, round(s, 4) AS sum_value,
+           mn AS session_start_s, mx AS session_end_s
+    FROM sessions
+    """
+
+
+@check("stateful_session_stats", _stateful_session_sql())
+def stateful_session_stats_check(spark, sf):
+    """T6 as a driver key — the custom applyInPandasWithState operator
+    driven end-to-end through real streaming machinery: three
+    availableNow runs over one checkpoint (first-half events, second
+    half, then a far-future sentinel), so cross-run state persistence,
+    event-time timeout emission, and exact per-session stats are all on
+    the hash. Output rows are identical whichever batch's timeout emits
+    them (the docstring of _stateful_session_sql explains the replay)."""
+    import shutil
+    import tempfile
+
+    from .streaming.jobs import run_available_now, stateful_session_stats
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    lo, hi = ev.agg(
+        F.floor(F.unix_timestamp(F.min("ts"))), F.floor(F.unix_timestamp(F.max("ts")))
+    ).collect()[0]
+    split_s = (int(lo) + int(hi)) // 2
+    tmp = tempfile.mkdtemp(prefix="t6_check_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        def feed(df):
+            df.coalesce(1).write.mode("append").parquet(src)
+
+        def run():
+            stream = stateful_session_stats(
+                spark.readStream.schema(ev.schema).parquet(src), gap_minutes=30
+            )
+            run_available_now(stream, ckpt, out)
+
+        feed(ev.filter(F.unix_timestamp("ts") <= split_s))
+        run()
+        feed(ev.filter(F.unix_timestamp("ts") > split_s))
+        run()
+        # sentinel advances the watermark past every real session's
+        # timeout; its own (negative-id) session stays open and is
+        # filtered from the result
+        feed(
+            spark.createDataFrame(
+                [(-1, 0.0)], "user_id long, value double"
+            ).select(
+                "user_id",
+                F.timestamp_seconds(F.lit(int(hi) + 30 * 60 + 3600)).alias("ts"),
+                "value",
+            )
+        )
+        run()
+        res = spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        res, "user_id long, n_events long, sum_value double, "
+        "session_start_s long, session_end_s long"
+    ).select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "session_start_s",
+        "session_end_s",
+    )
+
+
+def _avi_sample_sql() -> str:
+    """Oracle for the AVI frame-sampling check: the synthetic clip
+    geometry is a pure function of doc_id, so the surviving
+    (clip_id, frame_idx) set and each emitted BMP's exact byte length
+    (54-byte header + 4-byte-aligned BGR rows) are SQL-derivable even
+    though the pixel bytes themselves are pinned by the bit-exact codec
+    tests instead."""
+    return """
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 3 AS w,
+             3 + doc_id % 2 AS h,
+             3 + doc_id % 7 AS n_frames
+      FROM documents WHERE doc_id < 300)
+    SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+           CAST(unnest(range(0, CAST((n_frames + 1) // 2 AS BIGINT))) * 2
+                AS INT) AS frame_idx,
+           54 + ((w * 3 + 3) // 4) * 4 * h AS frame_len
+    FROM g
+    """
+
+
+@check("avi_frame_sample", _avi_sample_sql())
+def avi_frame_sample(spark, sf):
+    """Video-column plumbing as a driver key: synthesize a deterministic
+    uncompressed AVI per document (geometry and frame count derived from
+    doc_id) in a distributed pandas UDF, demux + sample every 2nd frame
+    with the from-scratch RIFF parser (multimodal/binary_ops.sample_frames),
+    and emit each kept frame's BMP byte length. The oracle recomputes the
+    expected frame set and byte geometry; pixel-level fidelity is pinned
+    by tests/test_multimodal.py's bit-exact round-trips."""
+    from .multimodal.binary_ops import sample_frames, synthetic_avi_udf
+
+    make_avi = synthetic_avi_udf()
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("clip_id"), "doc_id")
+        .withColumn("bytes", make_avi(F.col("doc_id")))
+    )
+    return sample_frames(d, every_n=2).select(
+        "clip_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+    )
+
+
+def _audio_stats_sql() -> str:
+    """Oracle for the audio decode check: the synthetic waveform's RMS
+    and duration have exact closed forms (power-of-two amplitude square
+    wave — operators/audio.synthetic_pcm_udf), so even the floating
+    stats compare exactly after rounding."""
+    return """
+    SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+           true AS ok,
+           CAST(800 + (doc_id % 5) * 160 AS INT) AS n_samples,
+           round(1024.0 * power(2, doc_id % 3) / 32768.0, 9) AS rms,
+           round((800 + (doc_id % 5) * 160) / 16.0, 6) AS dur_ms_decoded
+    FROM documents WHERE doc_id < 300
+    """
+
+
+@check("audio_decode_stats", _audio_stats_sql())
+def audio_decode_stats(spark, sf):
+    """F19 as a driver key: synthesize deterministic PCM16 payloads per
+    document (raw pcm_s16le for even ids, RIFF/WAVE for odd — both
+    decode paths), decode with the from-scratch numpy codec
+    (operators/audio.decode_stats_udf), and compare sample counts, RMS,
+    and decoded duration against their closed forms. Bit-level decode
+    fidelity vs stdlib audioop is pinned by tests/test_audio.py."""
+    from .operators.audio import synthetic_pcm_udf, with_audio_stats
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("clip_id"), "doc_id")
+        .withColumn("bytes", synthetic_pcm_udf()(F.col("doc_id")))
+        .withColumn(
+            "codec",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("pcm_s16le")).otherwise(
+                F.lit("wav-pcm16")
+            ),
+        )
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    return with_audio_stats(d).select(
+        "clip_id",
+        F.col("audio.ok").alias("ok"),
+        F.col("audio.n_samples").alias("n_samples"),
+        F.round("audio.rms", 9).alias("rms"),
+        F.round("audio.dur_ms_decoded", 6).alias("dur_ms_decoded"),
     )
 
 

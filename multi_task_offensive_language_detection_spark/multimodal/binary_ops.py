@@ -90,3 +90,30 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["clip_id", "frame_idx", "frame_bytes"])
 
     return df.select("clip_id", "bytes").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def synthetic_avi_udf():
+    """Deterministic AVI generator for fixtures/checks: geometry and
+    frame count are pure functions of an integer id (w = 4 + id%3,
+    h = 3 + id%2, n_frames = 3 + id%7, frame j filled with
+    (id*31 + j*7) % 256), so a SQL oracle can recompute the demuxed
+    frame set and byte geometry without decoding anything. Distributed
+    (pandas UDF), unlike a driver-side synthesis loop."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _make(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from .codecs import encode_avi
+
+        for ids in it:
+            out = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h, nf = 4 + d % 3, 3 + d % 2, 3 + d % 7
+                frames = [
+                    np.full((h, w, 3), (d * 31 + j * 7) % 256, dtype=np.uint8)
+                    for j in range(nf)
+                ]
+                out.append(encode_avi(frames, fps=10))
+            yield pd.Series(out)
+
+    return _make

@@ -156,3 +156,47 @@ def with_audio_stats(df, out_col: str = "audio"):
     """Attach decode stats. Run on a SAMPLED slice in production audits —
     touching ``bytes`` defeats column pruning on the text hot path."""
     return df.withColumn(out_col, decode_stats_udf("bytes", "codec", "sr_hz"))
+
+
+def synthetic_pcm_udf(sr_hz: int = 16000):
+    """Deterministic audio generator for fixtures/checks: given an
+    integer id, emits a ±A square wave with A = 1024·2^(id%3) (a power
+    of two, so A/32768 — and therefore the decoded RMS — is exactly
+    representable in binary floating point) over n = 800 + (id%5)·160
+    samples (divisible by 16, so dur_ms = n/16 is exact at 16 kHz).
+    Even ids are raw pcm_s16le payloads, odd ids minimal RIFF/WAVE
+    files — both decode paths exercised. The closed forms make the
+    decode stats SQL-derivable (checks.audio_decode_stats)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _make(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for raw_id in ids:
+                d = int(raw_id)
+                n = 800 + (d % 5) * 160
+                amp = 1024 << (d % 3)
+                pcm = np.empty(n, dtype=np.int16)
+                pcm[0::2] = amp
+                pcm[1::2] = -amp
+                payload = pcm.tobytes()
+                if d % 2 == 1:  # wrap in a minimal 44-byte WAV header
+                    hdr = (
+                        b"RIFF"
+                        + (36 + len(payload)).to_bytes(4, "little")
+                        + b"WAVEfmt "
+                        + (16).to_bytes(4, "little")
+                        + (1).to_bytes(2, "little")   # PCM
+                        + (1).to_bytes(2, "little")   # mono
+                        + sr_hz.to_bytes(4, "little")
+                        + (sr_hz * 2).to_bytes(4, "little")
+                        + (2).to_bytes(2, "little")
+                        + (16).to_bytes(2, "little")
+                        + b"data"
+                        + len(payload).to_bytes(4, "little")
+                    )
+                    payload = hdr + payload
+                out.append(payload)
+            yield pd.Series(out)
+
+    return _make

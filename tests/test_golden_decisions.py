@@ -71,3 +71,54 @@ def test_hierarchy_invariant(joined):
     assert joined.filter((F.col("e.label_a") == "NOT") & F.col("e.label_b").isNotNull()).count() == 0
     assert joined.filter((F.col("e.label_b") != "TIN") & F.col("e.label_c").isNotNull()).count() == 0
     assert joined.filter((F.col("e.label_a") == "OFF") & F.col("e.label_b").isNull()).count() == 0
+
+
+def test_flagship_fixture_matches_live_kernels(spark):
+    """Drift guard for the pinned oracle side table backing the
+    pipeline_documents_full driver key (tools/build_flagship_fixture.py):
+    the committed (lang, conf, ppl, rep_char_run) columns must equal a
+    fresh run of the production kernels at sf0.001. Fails after any
+    artifact or kernel change (ARTIFACT_VERSION bump) until the fixture
+    is regenerated — which is exactly the reminder it exists to give."""
+    import os
+
+    import pandas as pd
+
+    from multi_task_offensive_language_detection_spark.artifacts_build import build_all
+
+    fx_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "data",
+        "flagship_scores.parquet",
+    )
+    assert os.path.exists(fx_path), "run tools/build_flagship_fixture.py"
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumnRenamed(
+        "text", "transcript"
+    )
+    sig = int(
+        d.agg(F.sum(F.col("doc_id") * F.col("n_chars"))).collect()[0][0]
+    )
+    live = (
+        score_transcripts(d, "transcript", build_all(), id_col="doc_id")
+        .select(
+            "doc_id",
+            F.col("scores.langid_lang").alias("lang"),
+            F.col("scores.langid_conf").alias("conf"),
+            F.col("scores.ppl").alias("ppl"),
+            "rep_char_run",
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fx = (
+        pd.read_parquet(fx_path)
+        .query(f"corpus_sig == {sig}")
+        .drop(columns=["corpus_sig"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(fx) == len(live) > 0
+    pd.testing.assert_frame_equal(fx, live, check_exact=True)
