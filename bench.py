@@ -381,18 +381,20 @@ runs, BENCH/scaling_trials.jsonl): efficiency T1/(4 x T4) =
 trials from {scale['pooled'].get('n_runs')} runs, band
 [{scale['pooled'].get('min')}, {scale['pooled'].get('max')}] — target >= 0.8
 (BASELINE.json:2).** BASELINE.md and SURVEY.md cite THIS statistic;
-no single run's median is quoted as the criterion anywhere.
+no single run's median is quoted as the criterion anywhere. While the
+pooled median sits below 0.8, the stated position is: criterion UNMET
+on this VM; the zero-Spark kernels control on the same pair measures
+0.85-0.99 across epochs (below), so most of the shortfall is the
+shared-bus platform, not the plan.
 
 This run: {pair['efficiency_median']:.3f} (median of this run's trials),
 {pair['efficiency_minwall']:.3f} (min-wall). {walls_line(pair, n, n4)}.
 
-Round-over-round note: per-core throughput ROSE at every level this
-round (the Arrow-stage restructure), and the ratio moved the way the
-efficiency arithmetic predicts when compute shrinks on a
-bandwidth-limited box: compute cuts help the low-core side more, so a
-faster job shows a lower N->4N ratio on the SAME hardware. The
-per-core rows/s trend (the table above vs prior BENCH_r{{N}}.json) is
-the code signal; the ratio band is the platform signal.
+Round-over-round note: compute cuts help the low-core side more on a
+bandwidth-limited box, so a faster job can show a LOWER N->4N ratio on
+the same hardware. The per-core rows/s trend (the table above vs prior
+BENCH_r{{N}}.json) is the code signal; the ratio band is the platform
+signal.
 
 Why 1 -> 4 pinned cores is the honest N -> 4N EXECUTOR proxy:
 - Spark runs every task slot as a JVM task thread PLUS a Python worker,
@@ -418,9 +420,13 @@ ceiling; the same-pair control quantifies how much:
 
 {ctrl}
 - r4 component breakdown (tools/spec_pair_experiments.py, interleaved
-  2-trial medians): data-sized AQE reduce tasks (session defaults
-  since r4) moved this pair 0.23 -> ~0.40; per-level walls put
-  Spark's knee at ~16 cores (8->16 efficiency 0.70, flat 16->32);
+  trials): data-sized AQE reduce tasks (session defaults since r4)
+  moved this pair from r3's 0.18-0.29 band to 0.24-0.44 across the
+  four interleaved trials measured in the r4 session (experiment-run
+  medians 0.36-0.44 at 32-core walls of 11.0-13.7s; the same-session
+  bench epoch above recorded 0.24-0.28 at 16.3-21.8s — the VM's
+  epoch drift, every wall published). Per-level walls put Spark's
+  knee at ~16 cores (8->16 efficiency 0.70, flat 16->32);
   -XX:ParallelGCThreads=4 adds ~2%; HALVING the salted-stage task
   count does not help. The remaining gap to the kernels control is
   the JVM-task-thread + Python-worker pair per slot (64 runnable

@@ -291,6 +291,43 @@ def join_range(spark, sf):
 # =========================================================================
 
 
+@check(
+    "join_bucketed",
+    """
+    SELECT c.c_custkey,
+           any_value(c.c_acctbal) AS c_acctbal,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_bucketed(spark, sf):
+    """Bucketed co-located join (operators/bucketed.py): both sides are
+    written bucketBy(8, key) through the session catalog, so the join
+    plans with ZERO Exchange nodes — the storage-layout answer to a
+    recurring large⋈large shuffle at 100 TB (plan-locked in
+    tests/test_plan_shape.py). The oracle is the same join from the raw
+    tables; bucketing must change the plan, never the result."""
+    from .operators.bucketed import bucketed_equijoin, write_bucketed
+
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    write_bucketed(c, "bkt_customer", "c_custkey", 8)
+    write_bucketed(o, "bkt_orders", "c_custkey", 8)
+    j = bucketed_equijoin(spark, "bkt_customer", "bkt_orders", "c_custkey")
+    return j.groupBy("c_custkey").agg(
+        F.any_value("c_acctbal").alias("c_acctbal"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+
+
 @check("agg_label_counts", "SELECT lang, count(*) AS n FROM documents GROUP BY lang")
 def agg_label_counts(spark, sf):
     return _t(spark, sf, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n"))

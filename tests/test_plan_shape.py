@@ -138,3 +138,29 @@ def test_merge_upsert_one_shuffle_no_cartesian(spark):
     assert len(re.findall(r"Exchange", tree)) == 1, tree
     assert "CartesianProduct" not in plan and "Join" not in tree
     assert "Window" in tree
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """operators/bucketed.py promise: same-bucket-count tables join with
+    ZERO Exchange nodes (the shuffle was amortized into the writes) and,
+    when sorted within buckets, zero Sort nodes above the scans."""
+    from multi_task_offensive_language_detection_spark.operators.bucketed import (
+        bucketed_equijoin,
+        write_bucketed,
+    )
+
+    a = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(150).select(F.col("id").alias("k"), (F.col("id") + 7).alias("vb"))
+    write_bucketed(a, "t_bkt_a", "k", 4)
+    write_bucketed(b, "t_bkt_b", "k", 4)
+    j = bucketed_equijoin(spark, "t_bkt_a", "t_bkt_b", "k")
+    plan = _formatted_plan(j, spark)
+    tree = _tree(plan)
+    assert "Exchange" not in tree, tree
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, tree
+    # result correctness vs the un-bucketed join
+    expect = sorted((r["k"], r["va"], r["vb"]) for r in a.join(b, "k").collect())
+    got = sorted((r["k"], r["va"], r["vb"]) for r in j.collect())
+    assert got == expect
+    spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_b")
