@@ -941,6 +941,40 @@ def dedup_minhash_lsh(spark, sf):
     ).select("k1", "k2", F.round("jaccard", 6).alias("jaccard"))
 
 
+@check("dedup_incremental_lsh")  # rows-only: xxhash64 banding, like minhash_lsh
+def dedup_incremental_lsh(spark, sf):
+    """Incremental corpus dedup (operators/dedup.py lsh_index_*): the
+    documents table is written once as a persisted LSH index, then the
+    mutant batch is signed and queried against it — the corpus is never
+    re-shingled. Equality with the monolithic pair set (including the
+    combined bucket-cap decision and two-append additivity) is pinned by
+    tests/test_dedup_similarity.py; this key exercises the same path
+    end-to-end under the driver."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mut = (
+        _t(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, 1, greatest(length(text) - 8, 1))").alias("text"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        dedup.lsh_index_write(d, "doc_id", "text", tmp, n=5)
+        rows = (
+            dedup.lsh_index_query(mut, "doc_id", "text", tmp, n=5, verify_threshold=0.5)
+            .select("k_new", "k_old", F.round("jaccard", 6).alias("jaccard"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "k_new long, k_old long, jaccard double")
+
+
 @check("dedup_simhash")  # rows-only: FNV hash bits are engine-specific
 def dedup_simhash(spark, sf):
     return dedup.simhash_pairs(_docs_with_mutants(spark, sf), "doc_id", "text")

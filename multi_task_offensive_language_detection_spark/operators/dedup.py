@@ -419,6 +419,114 @@ def minhash_lsh_pairs(
     )
 
 
+# --- incremental LSH index -----------------------------------------------------
+#
+# A 100 TB corpus is not re-signed when a daily batch lands: the banded
+# signatures are a persisted INDEX. Writing a batch appends its (k, band,
+# bh) rows + partial bucket counts; querying signs only the new rows and
+# joins them against the index on (band, bh). The bucket cap is applied
+# to the COMBINED (index + batch) bucket size via the stored partial
+# counts, so the incremental pair set for new↔old pairs is exactly what
+# one monolithic minhash_lsh_pairs over (old ∪ new) would emit —
+# pinned by tests/test_dedup_similarity.py.
+
+
+def lsh_index_write(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Sign + band a corpus (or an incremental batch: mode='append')
+    into a persisted LSH index at ``path``: banded rows partitioned by
+    band (partition-pruned reads), the raw texts for the verify join,
+    and PARTIAL per-bucket counts (queries sum them, so appends never
+    rewrite old counts — the same additive-ledger idea as the
+    pipeline's counters)."""
+    base = _lsh_base(df, key_col, text_col, n, num_hashes).persist()
+    banded = _lsh_banded(base, num_hashes, bands)
+    banded.write.mode(mode).partitionBy("band").parquet(path + "/banded")
+    banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
+        mode
+    ).parquet(path + "/bucket_counts")
+    base.select("k", "t").write.mode(mode).parquet(path + "/texts")
+    base.unpersist()
+
+
+def lsh_index_query(
+    new_df: DataFrame,
+    key_col: str,
+    text_col: str,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs (k_new, k_old, jaccard) between a new batch and
+    the indexed corpus — the corpus is never re-signed or re-shingled
+    (only the verify step reads the stored texts of matched
+    candidates). Returns the same pairs a monolithic run over
+    (old ∪ new) would return for new↔old key pairs, including the
+    bucket-cap decision, which uses index counts + batch counts."""
+    spark = new_df.sparkSession
+    new_base = _lsh_base(new_df, key_col, text_col, n, num_hashes).persist()
+    new_banded = _lsh_banded(new_base, num_hashes, bands)
+    idx = spark.read.parquet(path + "/banded")
+
+    if max_bucket_size is not None:
+        idx_counts = (
+            spark.read.parquet(path + "/bucket_counts")
+            .groupBy("band", "bh")
+            .agg(F.sum("cnt").alias("cnt_old"))
+        )
+        new_counts = new_banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("cnt_new")
+        )
+        over = (
+            new_counts.join(idx_counts, ["band", "bh"], "left")
+            .filter(
+                F.coalesce(F.col("cnt_old"), F.lit(0)) + F.col("cnt_new")
+                > max_bucket_size
+            )
+            .select("band", "bh")
+        )
+        # only buckets the BATCH touches can produce new pairs, so the
+        # oversized list stays batch-sized (broadcastable) even when the
+        # index holds billions of rows
+        new_banded = new_banded.join(F.broadcast(over), ["band", "bh"], "left_anti")
+        idx = idx.join(F.broadcast(over), ["band", "bh"], "left_anti")
+
+    cand = (
+        new_banded.withColumnRenamed("k", "k_new")
+        .join(idx.withColumnRenamed("k", "k_old"), ["band", "bh"])
+        .filter(F.col("k_new") != F.col("k_old"))
+        .select("k_new", "k_old")
+        .distinct()
+    )
+    old_txt = spark.read.parquet(path + "/texts").withColumnsRenamed(
+        {"k": "k_old", "t": "t_old"}
+    )
+    new_txt = new_base.select(
+        F.col("k").alias("k_new"), F.col("t").alias("t_new")
+    )
+    return (
+        cand.join(new_txt, "k_new")
+        .join(old_txt, "k_old")
+        .select(
+            "k_new",
+            "k_old",
+            jaccard_texts_udf(n)(F.col("t_new"), F.col("t_old")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
 # --- SimHash -------------------------------------------------------------------
 
 

@@ -210,3 +210,71 @@ def test_simhash_bucket_cap_bounds_degenerate_corpora(spark):
     rows = [(i, "identical boilerplate text repeated everywhere") for i in range(1500)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert dedup.simhash_pairs(df, "doc_id", "text", max_bucket_size=100).count() == 0
+
+
+def test_incremental_lsh_index_matches_monolithic(docs, spark, tmp_path):
+    """lsh_index_write + lsh_index_query over (old corpus, new batch)
+    must emit exactly the new↔old pairs a monolithic minhash_lsh_pairs
+    over the union emits — same banding, same cap decision, same
+    verify. Also: the index is additive (two appends == one write)."""
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (103, "completely different content about spark query planning and shuffling"),
+            (105, "entirely novel text that matches nothing in the corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lsh_idx")
+    dedup.lsh_index_write(docs, "doc_id", "text", idx)
+    inc = {
+        (r["k_new"], r["k_old"]): r["jaccard"]
+        for r in dedup.lsh_index_query(new, "doc_id", "text", idx).collect()
+    }
+    mono = {
+        (max(r["k1"], r["k2"]), min(r["k1"], r["k2"])): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs.unionByName(new), "doc_id", "text"
+        ).collect()
+        # restrict to new(>100) ↔ old(<100) pairs
+        if (r["k1"] > 100) != (r["k2"] > 100)
+    }
+    assert inc == mono
+    assert (101, 1) in inc and (103, 3) in inc  # the planted near-dups
+    assert not any(k_new == 105 for k_new, _ in inc)
+
+    # additivity: building the index in two appends changes nothing
+    idx2 = str(tmp_path / "lsh_idx2")
+    old1 = docs.filter(F.col("doc_id") <= 3)
+    old2 = docs.filter(F.col("doc_id") > 3)
+    dedup.lsh_index_write(old1, "doc_id", "text", idx2)
+    dedup.lsh_index_write(old2, "doc_id", "text", idx2, mode="append")
+    inc2 = {
+        (r["k_new"], r["k_old"]): r["jaccard"]
+        for r in dedup.lsh_index_query(new, "doc_id", "text", idx2).collect()
+    }
+    assert inc2 == inc
+
+
+def test_incremental_lsh_cap_counts_index_plus_batch(spark, tmp_path):
+    """The bucket cap must consider index + batch rows TOGETHER: a
+    bucket that is fine in the index alone but oversized once the batch
+    lands produces no pairs (same decision the monolithic run makes)."""
+    old = spark.createDataFrame(
+        [(i, "identical degenerate boilerplate text body") for i in range(6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, "identical degenerate boilerplate text body") for i in range(6)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "cap_idx")
+    dedup.lsh_index_write(old, "doc_id", "text", idx)
+    # cap 10: 6 in-index + 6 in-batch = 12 > 10 -> dropped everywhere
+    assert (
+        dedup.lsh_index_query(new, "doc_id", "text", idx, max_bucket_size=10).count()
+        == 0
+    )
+    # cap 20 admits the bucket; every cross pair is an exact dup
+    got = dedup.lsh_index_query(new, "doc_id", "text", idx, max_bucket_size=20)
+    assert got.count() == 36 and got.filter(F.col("jaccard") < 1.0).count() == 0
