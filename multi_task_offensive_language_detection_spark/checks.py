@@ -941,6 +941,54 @@ def dedup_minhash_lsh(spark, sf):
     ).select("k1", "k2", F.round("jaccard", 6).alias("jaccard"))
 
 
+@check(
+    "table_snapshot_read",
+    """
+    WITH v1 AS (
+      SELECT 1 AS snap, lang, doc_id FROM documents WHERE doc_id < 250),
+    v2 AS (
+      SELECT 2 AS snap, lang, doc_id FROM documents
+      WHERE (doc_id < 250 AND lang <> 'en')
+         OR (doc_id >= 250 AND lang = 'en')),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT snap, lang, count(*) AS n, sum(doc_id) AS sum_ids
+    FROM u GROUP BY snap, lang
+    """,
+)
+def table_snapshot_read(spark, sf):
+    """Iceberg-shaped snapshot store (sources/snapshots.py): append a
+    slice of documents as snapshot 1, dynamic-partition-overwrite the
+    'en' partition as snapshot 2, then TIME-TRAVEL both snapshots and
+    aggregate. The oracle reconstructs both versions relationally —
+    what's on the hash is snapshot isolation itself: the overwrite must
+    not leak into the as-of-1 read, and untouched partitions must carry
+    into 2 unchanged."""
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotStore
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    tmp = tempfile.mkdtemp(prefix="snap_tbl_")
+    try:
+        store = SnapshotStore(tmp, "lang")
+        s1 = store.append(d.filter(F.col("doc_id") < 250))
+        s2 = store.overwrite_partitions(
+            d.filter((F.col("doc_id") >= 250) & (F.col("lang") == "en"))
+        )
+        out = (
+            store.read(spark, as_of=s1)
+            .withColumn("snap", F.lit(1))
+            .unionByName(store.read(spark, as_of=s2).withColumn("snap", F.lit(2)))
+            .groupBy("snap", "lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_ids"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "snap int, lang string, n long, sum_ids long")
+
+
 @check("dedup_incremental_lsh")  # rows-only: xxhash64 banding, like minhash_lsh
 def dedup_incremental_lsh(spark, sf):
     """Incremental corpus dedup (operators/dedup.py lsh_index_*): the

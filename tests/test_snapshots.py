@@ -1,0 +1,83 @@
+"""Snapshot store (sources/snapshots.py): isolation, time travel,
+dynamic partition overwrite, vacuum, crash-invisibility."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_task_offensive_language_detection_spark.sources.snapshots import (
+    SnapshotStore,
+)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "tbl"), "lang")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_append_and_overwrite_are_snapshot_isolated(spark, store):
+    s1 = store.append(_df(spark, [(1, "en", "a"), (2, "de", "b")]))
+    s2 = store.append(_df(spark, [(3, "en", "c")]))
+    s3 = store.overwrite_partitions(_df(spark, [(9, "en", "Z")]))
+
+    def ids(as_of):
+        return sorted(
+            r["doc_id"] for r in store.read(spark, as_of=as_of).collect()
+        )
+
+    assert ids(s1) == [1, 2]
+    assert ids(s2) == [1, 2, 3]          # append kept everything
+    assert ids(s3) == [2, 9]             # en replaced wholesale, de carried over
+    assert ids(None) == [2, 9]           # latest
+    # a reader pinned to s2 is untouched by the later overwrite
+    assert ids(s2) == [1, 2, 3]
+
+
+def test_partition_column_survives_and_prunes(spark, store):
+    store.append(_df(spark, [(1, "en", "a"), (2, "de", "b"), (3, "de", "c")]))
+    df = store.read(spark)
+    assert set(df.columns) == {"doc_id", "lang", "text"}
+    got = df.filter(F.col("lang") == "de").select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == [2, 3]
+
+
+def test_vacuum_deletes_unreferenced_and_breaks_old_time_travel(spark, store):
+    s1 = store.append(_df(spark, [(1, "en", "a")]))
+    s2 = store.overwrite_partitions(_df(spark, [(2, "en", "b")]))
+    removed = store.vacuum(keep_last=1)
+    assert removed, "the superseded snapshot-1 file must be deleted"
+    assert sorted(r["doc_id"] for r in store.read(spark).collect()) == [2]
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        store.read(spark, as_of=s1)
+    # retained snapshot still reads fine
+    assert store.read(spark, as_of=s2).count() == 1
+
+
+def test_crashed_stage_is_invisible_and_vacuumable(spark, store):
+    store.append(_df(spark, [(1, "en", "a")]))
+    before = store.current_snapshot_id()
+    # simulate a crash AFTER data files landed but BEFORE the journal
+    # commit: stage files directly without committing
+    sid = before + 1
+    store._stage_files(_df(spark, [(99, "en", "ghost")]), sid)
+    # the ghost file exists on disk but no snapshot references it
+    assert store.current_snapshot_id() == before
+    assert sorted(r["doc_id"] for r in store.read(spark).collect()) == [1]
+    removed = store.vacuum(keep_last=1)
+    assert any(f"snap-{sid:06d}" in r for r in removed)
+    assert sorted(r["doc_id"] for r in store.read(spark).collect()) == [1]
+
+
+def test_empty_table_and_missing_snapshot_raise(spark, store):
+    with pytest.raises(ValueError, match="empty table"):
+        store.read(spark)
+    store.append(_df(spark, [(1, "en", "a")]))
+    with pytest.raises(ValueError, match="not found"):
+        store.read(spark, as_of=42)
