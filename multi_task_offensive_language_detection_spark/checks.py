@@ -989,6 +989,43 @@ def table_snapshot_read(spark, sf):
     return spark.createDataFrame(out, "snap int, lang string, n long, sum_ids long")
 
 
+@check(
+    "dedup_substring_spans",
+    """
+    WITH g0 AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS pos
+      FROM documents),
+    g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                 substr(text, CAST(pos AS INT), 20) AS gram
+          FROM g0),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                      THEN 0 ELSE 1 END AS ni
+          FROM h),
+    s AS (SELECT doc_id, pos,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+          FROM i)
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 20 - min(pos) AS span_len
+    FROM s GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark, sf):
+    """Exact substring-duplication spans (operators/dedup.py — the
+    Lee-et-al exact-substring signal as hash-groupBy + gaps-and-islands):
+    maximal spans whose 20-grams occur in ≥2 distinct documents. Run in
+    exact mode (winnow_w=1) so the DuckDB oracle — which groups the
+    gram STRINGS — reproduces every span boundary; the winnowed scale
+    path is covered by the offset-robustness pytest."""
+    return dedup.substring_dup_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", k=20, winnow_w=1
+    )
+
+
 @check("dedup_incremental_lsh")  # rows-only: xxhash64 banding, like minhash_lsh
 def dedup_incremental_lsh(spark, sf):
     """Incremental corpus dedup (operators/dedup.py lsh_index_*): the

@@ -278,3 +278,45 @@ def test_incremental_lsh_cap_counts_index_plus_batch(spark, tmp_path):
     # cap 20 admits the bucket; every cross pair is an exact dup
     got = dedup.lsh_index_query(new, "doc_id", "text", idx, max_bucket_size=20)
     assert got.count() == 36 and got.filter(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_substring_dup_spans_finds_shared_boilerplate(spark):
+    """Two docs share a long license header and one short phrase; spans
+    must cover exactly the shared-k-gram regions, merged maximally."""
+    header = "this content is distributed under the creative commons license"
+    a = header + " alpha body text entirely unique to document one here"
+    b = header + " beta completely different tail for the second document"
+    c = "unrelated document with no shared passages of any kind at all"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_len"])
+        for r in dedup.substring_dup_spans(df, "doc_id", "text", k=20).collect()
+    }
+    # both continuations begin with ' ', so the true shared prefix is
+    # header + that space — the span must be exactly that, nothing more
+    assert spans[1] == (1, len(header) + 1)
+    assert spans[2] == (1, len(header) + 1)
+    assert 3 not in spans
+
+
+def test_substring_dup_spans_winnowing_is_offset_robust(spark):
+    """Winnowing selects fingerprints by CONTENT, so the same passage
+    at DIFFERENT offsets in two docs still collides (a fixed-stride
+    grid would sample disjoint grams — the reason winnowing exists).
+    Span boundaries resolve to ±w."""
+    shared = "the quick brown fox jumps over the lazy dog by the river bank"
+    df = spark.createDataFrame(
+        [(1, "A" * 31 + shared), (2, shared + "B" * 30)],  # offsets 32 vs 1
+        "doc_id long, text string",
+    )
+    w = 4
+    got = dedup.substring_dup_spans(df, "doc_id", "text", k=20, winnow_w=w)
+    spans = {r["doc_id"]: (r["span_start"], r["span_len"]) for r in got.collect()}
+    assert 1 in spans and 2 in spans
+    s1, l1 = spans[1]
+    s2, l2 = spans[2]
+    # doc1's copy starts at 32, doc2's at 1 — each detected within ±w
+    assert abs(s1 - 32) <= w and abs(s2 - 1) <= w
+    assert l1 >= len(shared) - 2 * w and l2 >= len(shared) - 2 * w
