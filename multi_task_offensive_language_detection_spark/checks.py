@@ -990,6 +990,36 @@ def table_snapshot_read(spark, sf):
 
 
 @check(
+    "sample_token_budget",
+    """
+    WITH c AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    SELECT doc_id, lang, n_chars FROM c WHERE cum <= 20000
+    """,
+)
+def sample_token_budget(spark, sf):
+    """Budgeted corpus selection (operators/quality.select_to_budget):
+    per language, keep the longest documents while the running
+    character total stays within 20k — the absolute-token-target
+    counterpart of rate-based sampling in corpus mixing. One keyed
+    window; the doc_id tiebreak makes the cut deterministic."""
+    from .operators.quality import select_to_budget
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return select_to_budget(
+        d,
+        "lang",
+        "n_chars",
+        20000,
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+
+
+@check(
     "dedup_substring_spans",
     """
     WITH g0 AS (

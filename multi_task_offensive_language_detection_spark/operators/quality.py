@@ -109,3 +109,39 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": doc_fingerprint(c),
         }
     )
+
+
+def select_to_budget(
+    df,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    order_cols: list | None = None,
+):
+    """Budgeted selection: per ``group_col``, walk rows in quality order
+    and keep them while the running ``weight_col`` total stays within
+    ``budget`` — the "best documents until N tokens per domain" step of
+    corpus mixing (the curation counterpart of sampling by rate: rates
+    give proportions, budgets give absolute token targets).
+
+    One keyed window (shuffle on the group), no driver loop, no second
+    pass: the cumulative sum frame is rows-unbounded-preceding, so the
+    decision is a single streaming pass per group. ``order_cols``
+    defaults to weight DESC with the weight column itself as the
+    quality proxy; pass explicit columns (e.g. a quality score DESC,
+    then a unique key) — the LAST order column must be unique per group
+    or the selection is not deterministic."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    order = order_cols if order_cols is not None else [F.col(weight_col).desc()]
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_cum", F.sum(weight_col).over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

@@ -139,11 +139,19 @@ class SnapshotStore:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """The table at a snapshot (latest by default). basePath keeps
         the hive partition column alive over the explicit file list, and
         partition-value filters still prune at the file level because
-        each file path carries its <col>=<v> directory."""
+        each file path carries its <col>=<v> directory. ``merge_schema``
+        enables additive schema evolution (later snapshots may add
+        columns; older files read as NULL for them — Iceberg's
+        add-column semantics)."""
         snap = self._resolve(as_of)
         paths = [
             os.path.join(self.data_dir, rel)
@@ -152,9 +160,43 @@ class SnapshotStore:
         ]
         if not paths:
             raise ValueError(f"snapshot {snap['snapshot_id']} is empty")
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        reader = spark.read.option("basePath", self.data_dir)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # -- maintenance --------------------------------------------------------
+
+    def compact(self, spark: SparkSession, max_files: int = 1) -> int | None:
+        """Small-files compaction (Iceberg's rewrite_data_files): every
+        partition holding more than ``max_files`` files is rewritten to
+        one file, committed as ONE new snapshot. Readers pinned to
+        earlier snapshots keep the old files until vacuum; rows are
+        identical before/after — only the layout changes. Returns the
+        new snapshot id, or None if nothing was fragmented.
+
+        The rewrite repartitions by the partition column, so each
+        value's rows land in a single task → a single file per
+        partition dir (the small-files fix, not a parallelism cap: ONE
+        maintenance snapshot covers any number of partitions, each
+        written by its own task)."""
+        snap = self._resolve(None)
+        fragmented = [
+            val for val, fs in snap["files"].items() if len(fs) > max_files
+        ]
+        if not fragmented:
+            return None
+        paths = [
+            os.path.join(self.data_dir, rel)
+            for val in fragmented
+            for rel in snap["files"][val]
+        ]
+        df = (
+            spark.read.option("basePath", self.data_dir)
+            .parquet(*paths)
+            .repartition(max(len(fragmented), 1), self.partition_col)
+        )
+        return self.overwrite_partitions(df)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete every

@@ -81,3 +81,45 @@ def test_empty_table_and_missing_snapshot_raise(spark, store):
     store.append(_df(spark, [(1, "en", "a")]))
     with pytest.raises(ValueError, match="not found"):
         store.read(spark, as_of=42)
+
+
+def test_compact_rewrites_fragmented_partitions_identically(spark, store):
+    # three appends fragment 'en' into 3 files; 'de' stays single-file
+    store.append(_df(spark, [(1, "en", "a"), (10, "de", "x")]))
+    store.append(_df(spark, [(2, "en", "b")]))
+    s3 = store.append(_df(spark, [(3, "en", "c")]))
+    before = sorted(
+        (r["doc_id"], r["lang"], r["text"]) for r in store.read(spark).collect()
+    )
+    snap = store._resolve(None)
+    assert len(snap["files"]["en"]) == 3 and len(snap["files"]["de"]) == 1
+    sid = store.compact(spark)
+    assert sid is not None
+    after_map = store._resolve(None)["files"]
+    assert len(after_map["en"]) == 1
+    assert after_map["de"] == snap["files"]["de"]  # untouched partition kept as-is
+    after = sorted(
+        (r["doc_id"], r["lang"], r["text"]) for r in store.read(spark).collect()
+    )
+    assert after == before  # rows identical, only layout changed
+    # the pre-compaction snapshot still time-travels to the same rows
+    assert sorted(
+        (r["doc_id"], r["lang"], r["text"])
+        for r in store.read(spark, as_of=s3).collect()
+    ) == before
+    # nothing fragmented now -> no-op
+    assert store.compact(spark) is None
+
+
+def test_schema_evolution_reads_merged(spark, store):
+    """Additive schema evolution, Iceberg-style: later snapshots may add
+    columns; a merged-schema read null-fills old files."""
+    store.append(_df(spark, [(1, "en", "a")]))
+    wider = spark.createDataFrame(
+        [(2, "en", "b", 0.9)], "doc_id long, lang string, text string, score double"
+    )
+    store.append(wider)
+    got = {
+        r["doc_id"]: r for r in store.read(spark, merge_schema=True).collect()
+    }
+    assert got[1]["score"] is None and got[2]["score"] == 0.9
