@@ -76,10 +76,15 @@ class SnapshotStore:
             f"{[s['snapshot_id'] for s in snaps]}) — vacuumed or never committed"
         )
 
-    def _commit(self, op: str, files: dict[str, list[str]]) -> int:
+    def _commit(
+        self, op: str, files: dict[str, list[str]], meta: dict | None = None
+    ) -> int:
         snaps = self.snapshots()
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        snaps.append({"snapshot_id": sid, "op": op, "files": files})
+        rec = {"snapshot_id": sid, "op": op, "files": files}
+        if meta:
+            rec["meta"] = meta
+        snaps.append(rec)
         tmp = self.journal_path + ".tmp"
         with open(tmp, "w") as f:
             for s in snaps:
@@ -113,8 +118,10 @@ class SnapshotStore:
         shutil.rmtree(staging, ignore_errors=True)
         return new_files
 
-    def append(self, df: DataFrame) -> int:
-        """New snapshot = previous map + this df's files (pure add)."""
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        """New snapshot = previous map + this df's files (pure add).
+        ``meta`` (e.g. a streaming (query, batch_id)) rides the journal
+        record — the hook idempotent sinks key on."""
         snaps = self.snapshots()
         base = dict(snaps[-1]["files"]) if snaps else {}
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
@@ -123,7 +130,7 @@ class SnapshotStore:
         for k, fs in new.items():
             merged.setdefault(k, [])
             merged[k] = merged[k] + fs
-        return self._commit("append", merged)
+        return self._commit("append", merged, meta)
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Dynamic partition overwrite: partitions present in df are

@@ -181,3 +181,42 @@ def stream_filter_clips(
     )
     q.awaitTermination()
     return q
+
+
+def stream_append_to_snapshots(store, query_name: str):
+    """Exactly-once streaming sink into the snapshot store (T1 upgraded
+    from plain parquet-append): each micro-batch commits ONE snapshot
+    whose journal meta records (query_name, batch_id). foreachBatch is
+    at-least-once — after a crash between sink write and checkpoint
+    commit, Spark REPLAYS the batch — so the sink consults the journal
+    and skips batch ids it already committed: the idempotent-sink half
+    of the exactly-once contract, keyed exactly the way Delta/Iceberg
+    streaming sinks key their txn ids. Scope: one checkpoint lineage
+    per query_name (a fresh checkpoint restarts batch ids at 0; reusing
+    the query_name then MASKS the replay — use a new name or table).
+
+    Returns the started query after availableNow termination."""
+
+    def process(batch_df, batch_id):
+        done = {
+            s["meta"]["batch_id"]
+            for s in store.snapshots()
+            if s.get("meta", {}).get("query") == query_name
+        }
+        if batch_id in done:
+            return  # replayed batch: already in the table, skip
+        store.append(batch_df, meta={"query": query_name, "batch_id": batch_id})
+
+    return process
+
+
+def run_stream_to_snapshots(src: DataFrame, store, query_name: str, checkpoint: str):
+    """Drive stream_append_to_snapshots with availableNow."""
+    q = (
+        src.writeStream.foreachBatch(stream_append_to_snapshots(store, query_name))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -176,3 +176,47 @@ def test_stateful_session_stats_emits_on_timeout(spark, tmp_path):
     assert r1["session_end_s"] - r1["session_start_s"] == 600
     assert got[2]["n_events"] == 1 and got[2]["sum_value"] == 10.0
     # user 3's session is still open — held in state, not emitted
+
+
+def test_stream_to_snapshot_store_is_exactly_once(spark, tmp_path):
+    """T1 + snapshot store: each micro-batch commits one snapshot keyed
+    by (query, batch_id); a replayed batch (foreachBatch is
+    at-least-once) is skipped, so table rows never duplicate."""
+    from multi_task_offensive_language_detection_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+    from multi_task_offensive_language_detection_spark.streaming.jobs import (
+        run_stream_to_snapshots,
+        stream_append_to_snapshots,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir, exist_ok=True)
+
+    def land(rows):
+        spark.createDataFrame(rows, "id long, lang string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    land([(1, "en"), (2, "de")])
+    schema = spark.read.parquet(src_dir).schema
+    store = SnapshotStore(str(tmp_path / "tbl"), "lang")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src_dir)
+
+    run_stream_to_snapshots(stream(), store, "q1", ckpt)
+    assert sorted(r["id"] for r in store.read(spark).collect()) == [1, 2]
+
+    land([(3, "en")])
+    run_stream_to_snapshots(stream(), store, "q1", ckpt)
+    assert sorted(r["id"] for r in store.read(spark).collect()) == [1, 2, 3]
+
+    # simulate the crash-replay: re-deliver batch 1's data with its id
+    replay = stream_append_to_snapshots(store, "q1")
+    replay(spark.createDataFrame([(3, "en")], schema), 1)
+    assert sorted(r["id"] for r in store.read(spark).collect()) == [1, 2, 3]
+    # a genuinely new batch id still lands
+    replay(spark.createDataFrame([(4, "fr")], schema), 2)
+    assert sorted(r["id"] for r in store.read(spark).collect()) == [1, 2, 3, 4]
