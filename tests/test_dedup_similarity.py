@@ -320,3 +320,48 @@ def test_substring_dup_spans_winnowing_is_offset_robust(spark):
     # doc1's copy starts at 32, doc2's at 1 — each detected within ±w
     assert abs(s1 - 32) <= w and abs(s2 - 1) <= w
     assert l1 >= len(shared) - 2 * w and l2 >= len(shared) - 2 * w
+
+
+def _brute_spans(texts: dict[int, str], k: int, min_docs: int = 2):
+    """Reference implementation: exact-mode substring_dup_spans in plain
+    Python — gram sets by string, positions, adjacent-merge."""
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, t in texts.items():
+        for p in range(len(t) - k + 1):
+            gram_docs[t[p : p + k]].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    spans = {}
+    for d, t in texts.items():
+        pos = [p + 1 for p in range(len(t) - k + 1) if t[p : p + k] in dup]
+        out = []
+        for p in pos:
+            if out and p - out[-1][1] <= 1:
+                out[-1] = (out[-1][0], p)
+            else:
+                out.append((p, p))
+        spans[d] = {(s, e + k - 1 - s + 1) for s, e in out}
+    return {d: s for d, s in spans.items() if s}
+
+
+def test_substring_spans_property_vs_brute_force(spark):
+    """Randomized cross-check of the exact path against a brute-force
+    Python reference: same spans for corpora built from a tiny alphabet
+    (maximizing accidental shared grams, the hard case for merging)."""
+    import random
+
+    rng = random.Random(421)
+    k = 6
+    for trial in range(4):
+        texts = {
+            i: "".join(rng.choice("abc ") for _ in range(rng.randint(10, 60)))
+            for i in range(1, 6)
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {}
+        for r in dedup.substring_dup_spans(df, "doc_id", "text", k=k).collect():
+            got.setdefault(r["doc_id"], set()).add((r["span_start"], r["span_len"]))
+        assert got == _brute_spans(texts, k), (trial, texts)
