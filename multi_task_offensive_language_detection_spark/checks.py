@@ -1618,6 +1618,47 @@ def avi_frame_sample(spark, sf):
     )
 
 
+@check(
+    "image_resize_stats",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+           true AS ok, 8 AS width, 6 AS height, 3 AS channels,
+           round(CAST((doc_id * 37) % 256 AS DOUBLE), 6) AS mean_intensity
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def image_resize_stats(spark, sf):
+    """Image resize plumbing as a driver key: synthesize constant-fill
+    BMPs per document (multimodal/binary_ops.synthetic_bmp_udf — fill
+    and dims are pure functions of doc_id), nearest-neighbor resize to
+    6×8 (resize_images), then decode the RESIZED bytes back through
+    with_image_features. Constant fill makes the resized mean exact, so
+    the whole decode→resize→re-encode→decode chain sits on the hash;
+    pixel-exactness on non-constant images is pinned by
+    tests/test_multimodal.py against a numpy reference."""
+    from .multimodal.binary_ops import (
+        resize_images,
+        synthetic_bmp_udf,
+        with_image_features,
+    )
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("clip_id"), "doc_id")
+        .withColumn("bytes", synthetic_bmp_udf()(F.col("doc_id")))
+    )
+    r = resize_images(d, 6, 8)
+    return with_image_features(r, bytes_col="resized").select(
+        "clip_id",
+        F.col("image_meta.ok").alias("ok"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.channels").alias("channels"),
+        F.round("image_meta.mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
 def _audio_stats_sql() -> str:
     """Oracle for the audio decode check: the synthetic waveform's RMS
     and duration have exact closed forms (power-of-two amplitude square

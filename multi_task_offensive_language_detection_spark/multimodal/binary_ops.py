@@ -117,3 +117,71 @@ def synthetic_avi_udf():
             yield pd.Series(out)
 
     return _make
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    bytes_col: str = "bytes",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Arrow-batched image resize: decode (BMP/PNM), nearest-neighbor
+    resample to (out_h, out_w) with numpy index maps (the standard
+    half-pixel-center grid: src = floor((dst + 0.5) * scale)), re-encode
+    as BMP. Nearest-neighbor on purpose: it is exactly reproducible in
+    integer arithmetic (no resampling-kernel ambiguity across libraries),
+    which keeps the byte output deterministic for oracles; a bilinear
+    kernel would slot into the same index-map structure. Undecodable
+    payloads yield NULL, mirroring with_image_features' ok=false."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _resize(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from .codecs import encode_bmp
+
+        for s in it:
+            out = []
+            for data in s:
+                if data is None:
+                    out.append(None)
+                    continue
+                try:
+                    img = decode_image(bytes(data))
+                except (ValueError, TypeError):
+                    out.append(None)
+                    continue
+                h, w = img.shape[:2]
+                ys = np.minimum(
+                    ((np.arange(out_h) + 0.5) * (h / out_h)).astype(np.int64), h - 1
+                )
+                xs = np.minimum(
+                    ((np.arange(out_w) + 0.5) * (w / out_w)).astype(np.int64), w - 1
+                )
+                res = img[ys][:, xs]
+                if res.ndim == 2:  # grayscale PGM → 3-channel for BMP
+                    res = np.repeat(res[:, :, None], 3, axis=2)
+                out.append(encode_bmp(np.ascontiguousarray(res)))
+            yield pd.Series(out)
+
+    return df.withColumn(out_col, _resize(F.col(bytes_col)))
+
+
+def synthetic_bmp_udf():
+    """Deterministic BMP generator for fixtures/checks: id → constant
+    image of (h, w) = (3 + id%4, 4 + id%5) filled with (id*37) % 256 —
+    constant fill makes every downstream pixel statistic (and any
+    resample of it) a closed form a SQL oracle can recompute."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _make(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from .codecs import encode_bmp
+
+        for ids in it:
+            out = []
+            for raw_id in ids:
+                d = int(raw_id)
+                h, w, fill = 3 + d % 4, 4 + d % 5, (d * 37) % 256
+                out.append(encode_bmp(np.full((h, w, 3), fill, dtype=np.uint8)))
+            yield pd.Series(out)
+
+    return _make

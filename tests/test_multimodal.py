@@ -214,3 +214,27 @@ def test_frame_sampling_demuxes_real_avi(spark):
     # sampled frame payloads are standalone images, bit-exact vs source
     for idx, fb in by_clip["a"].items():
         assert (decode_image(fb) == frames_a[idx]).all()
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    from multi_task_offensive_language_detection_spark.multimodal.binary_ops import (
+        resize_images,
+    )
+    from multi_task_offensive_language_detection_spark.multimodal.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_bmp(img))), ("bad", bytearray(b"nope")), ("n", None)],
+        "clip_id string, bytes binary",
+    )
+    out = {r["clip_id"]: r["resized"] for r in resize_images(df, 4, 5).collect()}
+    got = decode_bmp(bytes(out["a"]))
+    # numpy reference with the same half-pixel-center grid
+    ys = np.minimum(((np.arange(4) + 0.5) * (10 / 4)).astype(int), 9)
+    xs = np.minimum(((np.arange(5) + 0.5) * (7 / 5)).astype(int), 6)
+    assert (got == img[ys][:, xs]).all()
+    assert out["bad"] is None and out["n"] is None
