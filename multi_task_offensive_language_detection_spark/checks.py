@@ -1659,6 +1659,55 @@ def image_resize_stats(spark, sf):
     )
 
 
+@check(
+    "audio_resample_stats",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+           true AS ok,
+           CAST(400 + (doc_id % 5) * 80 AS INT) AS n_samples,
+           round(1024.0 * power(2, doc_id % 3) / 32768.0, 9) AS rms,
+           round((400 + (doc_id % 5) * 80) / 8.0, 6) AS dur_ms_decoded
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def audio_resample_stats(spark, sf):
+    """Audio resample plumbing on the hash: the synthetic ±A square
+    waves (operators/audio.synthetic_pcm_udf, 16 kHz) downsample to
+    8 kHz by picking exactly the even samples (t_out = 2k on the linear
+    grid), leaving a CONSTANT +A signal — so n_samples, RMS and
+    duration of the decode→resample→re-decode chain all have closed
+    forms. Interpolation exactness on arbitrary signals is pinned
+    against an independent numpy reference in tests/test_audio.py."""
+    from .operators.audio import resample_clips, synthetic_pcm_udf, with_audio_stats
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("clip_id"), "doc_id")
+        .withColumn("bytes", synthetic_pcm_udf()(F.col("doc_id")))
+        .withColumn(
+            "codec",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("pcm_s16le")).otherwise(
+                F.lit("wav-pcm16")
+            ),
+        )
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    rs = resample_clips(d, 8000).select(
+        "clip_id",
+        F.col("audio_rs.bytes").alias("bytes"),
+        F.lit("pcm_s16le").alias("codec"),
+        F.col("audio_rs.sr_hz").alias("sr_hz"),
+    )
+    return with_audio_stats(rs).select(
+        "clip_id",
+        F.col("audio.ok").alias("ok"),
+        F.col("audio.n_samples").alias("n_samples"),
+        F.round("audio.rms", 9).alias("rms"),
+        F.round("audio.dur_ms_decoded", 6).alias("dur_ms_decoded"),
+    )
+
+
 def _audio_stats_sql() -> str:
     """Oracle for the audio decode check: the synthetic waveform's RMS
     and duration have exact closed forms (power-of-two amplitude square

@@ -200,3 +200,59 @@ def synthetic_pcm_udf(sr_hz: int = 16000):
             yield pd.Series(out)
 
     return _make
+
+
+RESAMPLE_RESULT = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+
+def resample_udf(target_sr: int):
+    """(bytes, codec, sr_hz) → struct<bytes, sr_hz, n_samples>: decode by
+    codec, linearly interpolate onto the target rate's sample grid
+    (np.interp over sample times — the deterministic, library-free
+    resampler; a windowed-sinc kernel would slot into the same shape),
+    re-encode as raw pcm_s16le. The standard corpus-normalization step
+    (e.g. everything → 16 kHz mono) ahead of feature extraction.
+    Undecodable or NULL payloads yield a NULL struct."""
+
+    @F.pandas_udf(RESAMPLE_RESULT)
+    def _rs(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        for data, codec, sr in it:
+            n = len(data)
+            out_b: list = [None] * n
+            out_sr = np.full(n, target_sr, dtype=np.int32)
+            out_n = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                try:
+                    src_sr = int(sr.iloc[i])
+                    if data.iloc[i] is None or src_sr <= 0:
+                        continue
+                    pcm = decode_pcm(data.iloc[i], codec.iloc[i])
+                except (ValueError, IndexError, TypeError):
+                    continue
+                if len(pcm) == 0:
+                    continue
+                n_out = max(int(round(len(pcm) * target_sr / src_sr)), 1)
+                t_out = np.arange(n_out, dtype=np.float64) * (src_sr / target_sr)
+                res = np.interp(t_out, np.arange(len(pcm), dtype=np.float64), pcm)
+                q = np.clip(np.rint(res * 32768.0), -32768, 32767).astype(np.int16)
+                out_b[i] = q.tobytes()
+                out_n[i] = n_out
+            yield pd.DataFrame(
+                {"bytes": out_b, "sr_hz": out_sr, "n_samples": out_n}
+            )
+
+    return _rs
+
+
+def resample_clips(df, target_sr: int, out_col: str = "audio_rs"):
+    """Attach the resampled payload; downstream decode uses codec
+    'pcm_s16le' with the new sr_hz."""
+    return df.withColumn(out_col, resample_udf(target_sr)("bytes", "codec", "sr_hz"))
