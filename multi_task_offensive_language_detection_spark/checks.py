@@ -1095,6 +1095,26 @@ def dedup_simhash(spark, sf):
     return dedup.simhash_pairs(_docs_with_mutants(spark, sf), "doc_id", "text")
 
 
+@check("embedding_pca_project")  # rows-only: eigendecomposition is not SQL
+def embedding_pca_project(spark, sf):
+    """Distributed PCA (operators/linalg.py): tree-aggregated
+    second-moment partials → driver eigh at d=64 → broadcast projection
+    in one Arrow matrix multiply. Correctness (numpy-reference equality,
+    spectral invariants, orthonormality) is pinned in
+    tests/test_linalg.py; the sign convention makes these projections
+    deterministic."""
+    from .operators.linalg import pca_fit, pca_project
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    model = pca_fit(e, "embedding", k=4)
+    return pca_project(e, "embedding", model).select(
+        "vec_id",
+        *[F.round(F.col("pca")[j], 6).alias(f"pc{j}") for j in range(4)],
+    )
+
+
 _EMB_NEARDUP_SQL = """
 WITH base AS (
   SELECT vec_id AS k, embedding AS v, vec_id % 50 AS blk FROM embeddings

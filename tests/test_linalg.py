@@ -1,0 +1,71 @@
+"""Distributed PCA (operators/linalg.py) vs a single-machine numpy
+reference, plus the spectral invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from multi_task_offensive_language_detection_spark.operators import linalg
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(17)
+    # anisotropic cloud: variance concentrated in a few directions
+    basis = rng.standard_normal((8, 8))
+    scales = np.array([10, 6, 3, 1, 0.5, 0.2, 0.1, 0.05])
+    x = rng.standard_normal((400, 8)) * scales @ basis
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)  # several partitions → several partials
+    return x, df
+
+
+def test_pca_matches_numpy_reference(data, spark):
+    x, df = data
+    k = 3
+    model = linalg.pca_fit(df, "embedding", k)
+    # reference: numpy eigh on the exact covariance
+    mean = x.mean(axis=0)
+    cov = np.cov(x.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    ref = evecs[:, order].T
+    for j in range(k):
+        i = np.argmax(np.abs(ref[j]))
+        if ref[j, i] < 0:
+            ref[j] = -ref[j]
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["components"], ref, atol=1e-8)
+    assert np.allclose(model["explained_var"], np.sort(evals)[::-1][:k], atol=1e-9)
+
+
+def test_pca_projection_variance_equals_eigenvalues(data, spark):
+    x, df = data
+    model = linalg.pca_fit(df, "embedding", 3)
+    proj = np.stack(
+        [
+            r["pca"]
+            for r in linalg.pca_project(df, "embedding", model)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    # per-axis variance of the projections = the eigenvalues; axes uncorrelated
+    got_var = proj.var(axis=0)
+    assert np.allclose(got_var, model["explained_var"], atol=1e-8)
+    c = np.cov(proj.T, bias=True)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 1e-8
+    # components orthonormal
+    cc = model["components"] @ model["components"].T
+    assert np.allclose(cc, np.eye(3), atol=1e-10)
+
+
+def test_pca_empty_frame_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        linalg.pca_fit(df, "embedding", 2)
