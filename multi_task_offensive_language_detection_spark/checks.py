@@ -1095,6 +1095,52 @@ def dedup_simhash(spark, sf):
     return dedup.simhash_pairs(_docs_with_mutants(spark, sf), "doc_id", "text")
 
 
+@check(
+    "udtf_sentence_explode",
+    """
+    WITH m AS (SELECT doc_id,
+                      substr(text, 1, 40) || '. ' || substr(text, 41, 40)
+                        || '. ' || CAST(doc_id AS VARCHAR) AS mtext
+               FROM documents WHERE doc_id < 300),
+    p AS (SELECT doc_id, string_split(mtext, '. ') AS parts FROM m)
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(parts))) - 1 AS INT) AS idx,
+           unnest(parts) AS sentence
+    FROM p
+    """,
+)
+def udtf_sentence_explode(spark, sf):
+    """X3 via a REAL Spark 4 Python UDTF (operators/udtfs.py): register,
+    LATERAL-correlate, emit (idx, sentence) per row. The input is
+    synthesized multi-sentence (the raw documents contain no '. '
+    separators, which would reduce the check to an identity explode);
+    the split rule is deliberately SQL-mirrorable so the oracle verifies
+    the UDTF machinery itself — registration, lateral correlation,
+    per-row ordinality, NULL-skip."""
+    from .operators.udtfs import register_all
+
+    register_all(spark)
+    (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(". "),
+                F.substring("text", 41, 40),
+                F.lit(". "),
+                F.col("doc_id").cast("string"),
+            ).alias("mtext"),
+        )
+        .createOrReplaceTempView("_udtf_docs")
+    )
+    return spark.sql(
+        "SELECT doc_id, s.idx, s.sentence "
+        "FROM _udtf_docs, LATERAL sentence_split(mtext) AS s"
+    )
+
+
 @check("embedding_pca_project")  # rows-only: eigendecomposition is not SQL
 def embedding_pca_project(spark, sf):
     """Distributed PCA (operators/linalg.py): tree-aggregated
