@@ -35,6 +35,11 @@ ORACLES: dict[str, str] = {}
 
 def check(name: str, sql: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate @check key {name!r}: a second registration would "
+                "silently shadow the first in QUERIES/ORACLES"
+            )
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
@@ -951,7 +956,7 @@ def dedup_minhash_lsh(spark, sf):
       WHERE (doc_id < 250 AND lang <> 'en')
          OR (doc_id >= 250 AND lang = 'en')),
     u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-    SELECT snap, lang, count(*) AS n, sum(doc_id) AS sum_ids
+    SELECT snap, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
     FROM u GROUP BY snap, lang
     """,
 )
@@ -1882,48 +1887,6 @@ def str_demojize(spark, sf):
         F.lit("fire \U0001F525 and joy \U0001F602 "), F.col("text")
     )
     return d.select("doc_id", demojize_udf(synth).alias("demojized"))
-
-
-@check(
-    "tpch_q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
-             AS sum_disc_price,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def tpch_q1_pricing_summary(spark, sf):
-    """The classic scan→filter→agg shape (TPC-H Q1) — partial+final hash
-    agg, decimal accumulation for engine-independent exactness."""
-    li = _t(spark, sf, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (1 - F.col("l_discount").cast("decimal(8,4)"))
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
 
 
 @check(

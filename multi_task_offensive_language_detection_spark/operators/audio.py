@@ -218,7 +218,8 @@ def resample_udf(target_sr: int):
     resampler; a windowed-sinc kernel would slot into the same shape),
     re-encode as raw pcm_s16le. The standard corpus-normalization step
     (e.g. everything → 16 kHz mono) ahead of feature extraction.
-    Undecodable or NULL payloads yield a NULL struct."""
+    Undecodable or NULL payloads yield a sentinel struct — bytes NULL,
+    sr_hz=target, n_samples=0 (branch on ``bytes IS NULL``)."""
 
     @F.pandas_udf(RESAMPLE_RESULT)
     def _rs(

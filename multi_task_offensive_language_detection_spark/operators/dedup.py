@@ -358,7 +358,9 @@ def minhash_lsh_pairs(
     (k1 < k2) candidate pairs → verify join back to texts. Pair
     generation is ONE keyed shuffle: the capped banded rows group into
     ≤``max_bucket_size``-element key arrays (bounded: ≤8 KB per bucket
-    by construction) and the k² pair explode runs inside the same stage
+    by construction — with ``max_bucket_size=None`` the grouped path is
+    unsafe, so pair generation falls back to the bucket self-join
+    instead) and the k² pair explode runs inside the same stage
     — measured 2× faster than the former two-sided self-join at sf0.1
     (which shuffled the banded rows twice and built a join hash table
     per bucket), with identical output. Every stage is bounded by
@@ -391,22 +393,36 @@ def minhash_lsh_pairs(
         banded = _drop_oversized_buckets(
             banded, ["band", "bh"], max_bucket_size
         )
-
-    # pair generation: one shuffle on (band, bh), arrays bounded by the
-    # cap above; nested explode stays whole-stage-codegen (a transform()-
-    # based combination build would run interpreted — SNIPPETS.md HOF note)
-    grouped = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_set("k").alias("ks"))
-        .filter(F.size("ks") >= 2)
-    )
-    cand = (
-        grouped.select("ks", F.explode("ks").alias("k1"))
-        .select("k1", F.explode("ks").alias("k2"))
-        .filter(F.col("k1") < F.col("k2"))
-        .select("k1", "k2")
-        .distinct()
-    )
+        # pair generation: one shuffle on (band, bh), arrays bounded by
+        # the cap above; nested explode stays whole-stage-codegen (a
+        # transform()-based combination build would run interpreted —
+        # SNIPPETS.md HOF note). The collect_set path REQUIRES the cap:
+        # each bucket materializes one array row.
+        grouped = (
+            banded.groupBy("band", "bh")
+            .agg(F.collect_set("k").alias("ks"))
+            .filter(F.size("ks") >= 2)
+        )
+        cand = (
+            grouped.select("ks", F.explode("ks").alias("k1"))
+            .select("k1", F.explode("ks").alias("k2"))
+            .filter(F.col("k1") < F.col("k2"))
+            .select("k1", "k2")
+            .distinct()
+        )
+    else:
+        # uncapped: the self-join path — slower (two shuffles of the
+        # banded rows + per-bucket hash build) but degrades smoothly on a
+        # degenerate bucket instead of collecting one unbounded array
+        # into a single executor row
+        lhs = banded.select("band", "bh", F.col("k").alias("k1"))
+        rhs = banded.select("band", "bh", F.col("k").alias("k2"))
+        cand = (
+            lhs.join(rhs, ["band", "bh"])
+            .filter(F.col("k1") < F.col("k2"))
+            .select("k1", "k2")
+            .distinct()
+        )
 
     txt = base.select(F.col("k"), F.col("t"))
     return (
@@ -711,28 +727,43 @@ def simhash_pairs(
 
     if max_bucket_size is not None:
         buckets = _drop_oversized_buckets(buckets, ["combo", "bv"], max_bucket_size)
-
-    # same one-shuffle pair generation as minhash_lsh_pairs: capped
-    # buckets collect into ≤max_bucket_size struct arrays, pairs explode
-    # in-stage (was a two-sided self-join = two shuffles of the bucketed
-    # rows plus a per-bucket hash build)
-    grouped = (
-        buckets.groupBy("combo", "bv")
-        .agg(F.collect_set(F.struct(F.col("k"), F.col("sh"))).alias("ks"))
-        .filter(F.size("ks") >= 2)
-    )
-    cand = (
-        grouped.select("ks", F.explode("ks").alias("a"))
-        .select("a", F.explode("ks").alias("b"))
-        .filter(F.col("a.k") < F.col("b.k"))
-        .select(
-            F.col("a.k").alias("k1"),
-            F.col("b.k").alias("k2"),
-            F.col("a.sh").alias("sh1"),
-            F.col("b.sh").alias("sh2"),
+        # same one-shuffle pair generation as minhash_lsh_pairs: capped
+        # buckets collect into ≤max_bucket_size struct arrays, pairs
+        # explode in-stage (was a two-sided self-join = two shuffles of
+        # the bucketed rows plus a per-bucket hash build). Requires the
+        # cap — one array row per bucket.
+        grouped = (
+            buckets.groupBy("combo", "bv")
+            .agg(F.collect_set(F.struct(F.col("k"), F.col("sh"))).alias("ks"))
+            .filter(F.size("ks") >= 2)
         )
-        .distinct()
-    )
+        cand = (
+            grouped.select("ks", F.explode("ks").alias("a"))
+            .select("a", F.explode("ks").alias("b"))
+            .filter(F.col("a.k") < F.col("b.k"))
+            .select(
+                F.col("a.k").alias("k1"),
+                F.col("b.k").alias("k2"),
+                F.col("a.sh").alias("sh1"),
+                F.col("b.sh").alias("sh2"),
+            )
+            .distinct()
+        )
+    else:
+        # uncapped fallback: self-join degrades per-bucket without a
+        # single unbounded collected array (see minhash_lsh_pairs)
+        lhs = buckets.select(
+            "combo", "bv", F.col("k").alias("k1"), F.col("sh").alias("sh1")
+        )
+        rhs = buckets.select(
+            "combo", "bv", F.col("k").alias("k2"), F.col("sh").alias("sh2")
+        )
+        cand = (
+            lhs.join(rhs, ["combo", "bv"])
+            .filter(F.col("k1") < F.col("k2"))
+            .select("k1", "k2", "sh1", "sh2")
+            .distinct()
+        )
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
     return cand.select("k1", "k2", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

@@ -2,10 +2,12 @@
 tree-aggregated second-moment statistics.
 
 The canonical tall-skinny pattern (n rows ≫ d dims, here d = 64):
-- one distributed pass computes per-Arrow-batch partials
-  (count, Σv, Σ v·vᵀ) — each partial is a single tiny row (d² doubles ≈
-  32 KB), so the driver collects #batches rows, never the data;
-- the driver sums partials, forms the covariance, and runs a d×d
+- one distributed pass computes per-PARTITION partials (count, Σv,
+  Σ v·vᵀ) — accumulated across the Arrow-batch iterator, one tiny row
+  (d² doubles ≈ 32 KB) per partition — which a Spark-side element-wise
+  sum reduces to a single flat vector, so the driver collects 1+d+d²
+  scalars regardless of row count or partition count;
+- the driver forms the covariance from that vector and runs a d×d
   eigendecomposition (microseconds at d=64 — this is NOT a distributed
   bottleneck, exactly how Spark MLlib's PCA splits the work);
 - projection broadcasts the (d×k) component matrix into one pandas UDF
@@ -30,17 +32,27 @@ from pyspark.sql import types as T
 
 
 def _partial_moments(vec_col: str):
+    """ONE partial row per PARTITION (not per Arrow batch): the (n, Σv,
+    Σvvᵀ) accumulators fold across the iterator, so a 10^12-row table at
+    10k-row batches still yields only #partitions rows downstream."""
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = g = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += len(m)
+            if s is None:
+                s = m.sum(axis=0)
+                g = m.T @ m
+            else:
+                s += m.sum(axis=0)
+                g += m.T @ m
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [len(m)],
-                    "s": [m.sum(axis=0).tolist()],
-                    "g": [(m.T @ m).ravel().tolist()],
-                }
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
     return fn
@@ -57,13 +69,31 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
             T.StructField("g", T.ArrayType(T.DoubleType())),
         ]
     )
-    parts = df.select(vec_col).mapInPandas(_partial_moments(vec_col), schema).collect()
-    if not parts:
+    parts = df.select(vec_col).mapInPandas(_partial_moments(vec_col), schema)
+    # Spark-side reduce BEFORE any collect: pack each partition's partial
+    # into one flat vector [n, Σv, Σvvᵀ] and sum element-wise via
+    # posexplode+groupBy — a shuffle of #partitions × (1+d+d²) scalars,
+    # then the driver collects 1+d+d² tiny (pos, val) rows total. n rides
+    # as a double (exact below 2^53 rows).
+    summed = (
+        parts.select(
+            F.posexplode(
+                F.concat(F.array(F.col("n").cast("double")), "s", "g")
+            ).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    if not summed:
         raise ValueError("pca_fit on an empty frame")
-    n = sum(p["n"] for p in parts)
-    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
-    d = len(s)
-    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
+    flat = np.empty(len(summed))
+    for r in summed:
+        flat[r["pos"]] = r["val"]
+    d = int(round((-1 + (4 * len(flat) - 3) ** 0.5) / 2))  # len = 1+d+d²
+    n = int(round(flat[0]))
+    s = flat[1 : 1 + d]
+    g = flat[1 + d :].reshape(d, d)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending

@@ -215,6 +215,17 @@ class SnapshotStore:
         referenced = {
             rel for s in keep for fs in s["files"].values() for rel in fs
         }
+        # journal FIRST (atomic replace), data files after — mirroring the
+        # write path's data-then-journal ordering in reverse. A crash after
+        # the replace leaves unreferenced-but-present files (re-vacuumable,
+        # harmless); the old ordering could leave the journal referencing
+        # already-deleted files, turning time travel into a missing-file
+        # error instead of the documented clean ValueError.
+        tmp = self.journal_path + ".tmp"
+        with open(tmp, "w") as f:
+            for s in keep:
+                f.write(json.dumps(s) + "\n")
+        os.replace(tmp, self.journal_path)
         removed = []
         for f in glob.glob(os.path.join(self.data_dir, "*", "*.parquet")):
             rel = os.path.relpath(f, self.data_dir)
@@ -223,9 +234,4 @@ class SnapshotStore:
                 removed.append(rel)
         for stale in glob.glob(os.path.join(self.root, "_staging-*")):
             shutil.rmtree(stale, ignore_errors=True)
-        tmp = self.journal_path + ".tmp"
-        with open(tmp, "w") as f:
-            for s in keep:
-                f.write(json.dumps(s) + "\n")
-        os.replace(tmp, self.journal_path)
         return removed

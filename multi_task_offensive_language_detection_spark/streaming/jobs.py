@@ -195,7 +195,8 @@ def stream_append_to_snapshots(store, query_name: str):
     per query_name (a fresh checkpoint restarts batch ids at 0; reusing
     the query_name then MASKS the replay — use a new name or table).
 
-    Returns the started query after availableNow termination."""
+    Returns the ``foreachBatch`` callback; ``run_stream_to_snapshots``
+    wires it to a stream and runs it to availableNow termination."""
 
     def process(batch_df, batch_id):
         done = {

@@ -69,3 +69,32 @@ def test_pca_empty_frame_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         linalg.pca_fit(df, "embedding", 2)
+
+
+def test_partial_moments_one_row_per_partition(data, spark):
+    """The distributed pass must emit ≤1 partial per PARTITION (not per
+    Arrow batch) — the 100 TB driver-safety property, now enforced even
+    when maxRecordsPerBatch forces many batches per partition."""
+    x, df = data
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("s", T.ArrayType(T.DoubleType())),
+                T.StructField("g", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        parts = (
+            df.select("embedding")
+            .mapInPandas(linalg._partial_moments("embedding"), schema)
+            .collect()
+        )
+        assert len(parts) <= df.rdd.getNumPartitions()
+        assert sum(p["n"] for p in parts) == len(x)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -39,6 +39,17 @@ def test_no_key_goes_stale_beyond_one_round():
     assert stale == [], f"keys starving outside the driver window: {stale}"
 
 
+def test_duplicate_check_key_rejected():
+    """A second @check registration must raise, not silently shadow the
+    first in QUERIES/ORACLES (the r4 tpch_q1 incident)."""
+    import pytest
+
+    existing = next(iter(checks.QUERIES))
+    with pytest.raises(ValueError, match="duplicate"):
+        checks.check(existing)(lambda spark, sf: None)
+    assert len(checks.QUERIES) == len(set(checks.QUERIES))
+
+
 def test_registered_order_matches_generator():
     # QUERIES must actually BE in generated rotation order (the module
     # applies it at import time) and ORACLES must follow the same order
