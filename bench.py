@@ -311,6 +311,12 @@ METHODOLOGY_LOG = (
     "defaults changed (parallelismFirst=false, 16 MB advisory) — part "
     "of the r3->r4 headline drop is those defaults, part is the LSH "
     "pair-generation rewrite.",
+    "r5: a fixed-cost JVM probe (range-sum, constant work) is timed "
+    "between headline queries; its wall tracks only epoch load, so "
+    "query/probe drift separates code regressions from VM noise (r4's "
+    "pipeline_documents +76% was epoch load). Full bench record moved "
+    "to BENCH/bench_full.json; the stdout line is compact so the "
+    "driver's tail capture can parse it (r4's was truncated).",
 )
 
 
@@ -323,6 +329,7 @@ def write_baseline_md(
     skew: dict | None = None,
     udf_split: dict | None = None,
     qruns: dict | None = None,
+    probe_runs: list[float] | None = None,
 ) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     qlines = "\n".join(
@@ -468,6 +475,14 @@ both min-wall.)
 {qlines}
 | **total (of medians)** | **{total:.3f}** | |
 
+Epoch-load probe (constant JVM range-sum timed between queries —
+identical work every round, so its wall moves ONLY with background VM
+load): walls this run (s):
+{', '.join(f'{p:.2f}' for p in (probe_runs or []))}
+(median {_median(probe_runs or [0]):.3f}). Compare a query's
+median/probe-median ratio across rounds before calling a wall shift a
+regression.
+
 Reference throughput: none published (the reference is a GPU training
 repo, SURVEY.md §6); the binding targets are the scaling efficiency above
 and the driver's per-round BENCH_r{{N}}.json trend.
@@ -508,8 +523,22 @@ def main() -> None:
     # a point jump. Runs are per-query-consecutive (a,a,a,b,b,b…): the
     # alternative abc-abc-abc interleaving would charge every query the
     # cross-query cache eviction cost.
+    # fixed-cost probe (VERDICT r4 #7): a constant JVM-only aggregation
+    # timed next to every headline query. Identical work each time, so
+    # its wall tracks ONLY the epoch's background load — headline/probe
+    # drift across rounds separates "code got slower" from "the VM was
+    # busy" (r4's pipeline_documents +76% read as a regression; it was
+    # epoch load).
+    def probe_once() -> float:
+        t0 = time.monotonic()
+        spark.range(0, 400_000_000, 1, int(CPUS)).selectExpr(
+            "sum(id % 7919) as s"
+        ).collect()
+        return round(time.monotonic() - t0, 3)
+
     qtimes: dict[str, float] = {}
     qruns: dict[str, list[float]] = {}
+    probe_runs: list[float] = [probe_once()]
     for name in HEADLINE:
         fn = checks.QUERIES[name]
         runs = []
@@ -522,6 +551,8 @@ def main() -> None:
             runs.append(round(time.monotonic() - t0, 3))
         qruns[name] = runs
         qtimes[name] = round(_median(runs), 3)
+        probe_runs.append(probe_once())
+    probe_s = round(_median(probe_runs), 3)
 
     # -- M8 promised evidence (BASELINE.md): salt-skew spread + UDF share --
     from pyspark.sql import functions as F
@@ -572,7 +603,10 @@ def main() -> None:
     control = run_control()
     total = round(sum(qtimes.values()), 3)
     scale_rows = BENCH_CLIP_ROWS * SCALE_TILE
-    write_baseline_md(scale_rows, scale, qtimes, total, control, skew, udf_split, qruns)
+    write_baseline_md(
+        scale_rows, scale, qtimes, total, control, skew, udf_split, qruns,
+        probe_runs=probe_runs,
+    )
 
     cores_measured = sorted(c for c in scale if isinstance(c, int))
     clips_blob = {
@@ -595,22 +629,44 @@ def main() -> None:
         "control_kernels_eff_1_4": control.get("eff_1_4"),
         "control_kernels_eff_8_32": control.get("eff_8_32"),
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "queries_runs": qruns,
-                "sf": SF_DIR,
-                "clips": clips_blob,
-                "skew": skew,
-                "udf_native_split": udf_split,
-                "methodology": list(METHODOLOGY_LOG),
-            }
-        )
-    )
+    # FULL record → a BENCH/ file; the stdout line stays COMPACT. The
+    # driver tail-captures the last line of stdout and truncated r4's
+    # (BENCH_r04.json parsed=null) when queries_runs + methodology grew
+    # it past the capture window — never again.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "queries_runs": qruns,
+        "probe_s": probe_s,
+        "probe_runs": probe_runs,
+        "sf": SF_DIR,
+        "clips": clips_blob,
+        "skew": skew,
+        "udf_native_split": udf_split,
+        "methodology": list(METHODOLOGY_LOG),
+    }
+    with open(os.path.join(REPO, "BENCH", "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "probe_s": probe_s,
+        "clips": {
+            "rows": scale_rows,
+            "rows_per_s_by_cores": {
+                str(c): round(scale[c]["rows_per_s"], 1) for c in cores_measured
+            },
+            "scaling_pooled": scale["pooled"],
+            "spec_pair_efficiency": scale["spec_pair"]["efficiency_median"],
+        },
+        "detail": "BENCH/bench_full.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -52,6 +52,20 @@ def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
     return load_table(spark, sf, name)
 
 
+#: pinned kernel-output side tables for formerly rows-only keys
+#: (tools/build_pinned_oracles.py; corpus_sig-sliced like the flagship
+#: fixture, defined up here because their oracles interpolate the paths
+#: at decoration time)
+_FIXTURE_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "data",
+)
+_HASHTAG_FIXTURE = os.path.join(_FIXTURE_DATA_DIR, "hashtag_segments.parquet")
+_PCA_FIXTURE = os.path.join(_FIXTURE_DATA_DIR, "pca_projections.parquet")
+
+
 # =========================================================================
 # §2.1/2.2 scans, projections, filters
 # =========================================================================
@@ -1146,14 +1160,26 @@ def udtf_sentence_explode(spark, sf):
     )
 
 
-@check("embedding_pca_project")  # rows-only: eigendecomposition is not SQL
+@check(
+    "embedding_pca_project",
+    f"""
+    SELECT vec_id, pc0, pc1, pc2, pc3
+    FROM read_parquet('{_PCA_FIXTURE}')
+    WHERE corpus_sig = (SELECT CAST(sum(vec_id *
+            CAST(floor(embedding[1] * 1000) AS BIGINT)) AS BIGINT)
+          FROM embeddings)
+    """,
+)
 def embedding_pca_project(spark, sf):
-    """Distributed PCA (operators/linalg.py): tree-aggregated
-    second-moment partials → driver eigh at d=64 → broadcast projection
-    in one Arrow matrix multiply. Correctness (numpy-reference equality,
-    spectral invariants, orthonormality) is pinned in
-    tests/test_linalg.py; the sign convention makes these projections
-    deterministic."""
+    """Distributed PCA (operators/linalg.py): per-partition second-moment
+    partials → Spark-side element-wise reduce → driver eigh at d=64 →
+    broadcast projection in one Arrow matrix multiply. Full oracle via
+    the pinned side table (tools/build_pinned_oracles.py) — no SQL does
+    eigendecomposition, so the fixture pins the engine's projections
+    (rounded to 4: cross-partition float-sum order is run-dependent at
+    1e-12) and tests/test_linalg.py proves the SAME kernel against a
+    from-scratch numpy reference, with a fixture drift guard alongside.
+    The pinned sign convention makes projections deterministic."""
     from .operators.linalg import pca_fit, pca_project
 
     e = _t(spark, sf, "embeddings").select(
@@ -1162,7 +1188,7 @@ def embedding_pca_project(spark, sf):
     model = pca_fit(e, "embedding", k=4)
     return pca_project(e, "embedding", model).select(
         "vec_id",
-        *[F.round(F.col("pca")[j], 6).alias(f"pc{j}") for j in range(4)],
+        *[F.round(F.col("pca")[j], 4).alias(f"pc{j}") for j in range(4)],
     )
 
 
@@ -1826,21 +1852,28 @@ def audio_decode_stats(spark, sf):
     )
 
 
-@check("str_hashtag_segment")  # rows-only: greedy dictionary walk isn't SQL
+@check(
+    "str_hashtag_segment",
+    f"""
+    SELECT doc_id, segmented
+    FROM read_parquet('{_HASHTAG_FIXTURE}')
+    WHERE corpus_sig = (SELECT sum(doc_id * n_chars) FROM documents)
+    """,
+)
 def str_hashtag_segment(spark, sf):
     """F5 — hashtag segmentation: synthesize a #CamelCase + #concatenated
     hashtag per document, segment both via the greedy longest-match
-    dictionary UDF (goldens in tests/test_text_ops.py)."""
-    from .operators.hashtag import segment_hashtags
+    dictionary UDF. Full oracle via the pinned side table
+    (tools/build_pinned_oracles.py) — the greedy dictionary walk isn't
+    SQL, so the fixture pins the engine's segmentation (deterministic
+    given the vocab artifact); semantics are independently pinned by the
+    goldens in tests/test_text_ops.py, drift guard alongside."""
+    from .operators.hashtag import segment_hashtags, synth_hashtags_col
 
     d = _t(spark, sf, "documents")
-    synth = F.concat(
-        F.lit("#GoodMorning "),
-        F.col("text"),
-        F.lit(" #"),
-        F.regexp_replace(F.substring("text", 1, 24), r"\s+", ""),
+    return d.select(
+        "doc_id", segment_hashtags(synth_hashtags_col()).alias("segmented")
     )
-    return d.select("doc_id", segment_hashtags(synth).alias("segmented"))
 
 
 @check(

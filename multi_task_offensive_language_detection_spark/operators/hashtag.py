@@ -100,3 +100,17 @@ def hashtag_segment_udf(vocab: frozenset[str] | None = None):
 
 def segment_hashtags(col: Column, vocab: frozenset[str] | None = None) -> Column:
     return hashtag_segment_udf(vocab)(col)
+
+
+def synth_hashtags_col(text_col: str = "text") -> Column:
+    """The synthetic-hashtag expression shared by the str_hashtag_segment
+    driver check and its pinned-fixture builder
+    (tools/build_pinned_oracles.py) — one definition so the check and
+    the committed oracle cannot drift apart: one #CamelCase tag plus one
+    concatenated tag derived from the document's own text."""
+    return F.concat(
+        F.lit("#GoodMorning "),
+        F.col(text_col),
+        F.lit(" #"),
+        F.regexp_replace(F.substring(text_col, 1, 24), r"\s+", ""),
+    )

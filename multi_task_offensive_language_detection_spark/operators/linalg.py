@@ -31,6 +31,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def embeddings_sig_agg(vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact-integer content signature of an embeddings table —
+    sum(vec_id * floor(embedding[0] * 1000)) — shared by the
+    embedding_pca_project driver check and its pinned-fixture builder
+    (tools/build_pinned_oracles.py). Row counts collide across testdata
+    scale factors, so the signature is content-based; float32 * 1000 in
+    double then floor is exact in both Spark and DuckDB (the DuckDB
+    mirror indexes embedding[1], lists being 1-based there)."""
+    return (
+        F.sum(
+            F.col(id_col)
+            * F.floor(F.col(vec_col).getItem(0).cast("double") * 1000).cast("long")
+        )
+        .cast("long")
+    )
+
+
 def _partial_moments(vec_col: str):
     """ONE partial row per PARTITION (not per Arrow batch): the (n, Σv,
     Σvvᵀ) accumulators fold across the iterator, so a 10^12-row table at

@@ -71,6 +71,45 @@ def test_pca_empty_frame_raises(spark):
         linalg.pca_fit(df, "embedding", 2)
 
 
+def test_pca_fixture_matches_independent_numpy(spark):
+    """Drift guard for the pinned oracle backing embedding_pca_project
+    (tools/build_pinned_oracles.py): the committed pc0..pc3 columns must
+    equal a from-scratch numpy PCA (full-matrix covariance + eigh + the
+    pinned sign convention — no engine code) of the sf0.001 embeddings,
+    within the fixture's 1e-4 rounding. Fails after any PCA kernel
+    change: regenerate via `python tools/build_pinned_oracles.py`."""
+    import os
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    fx_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "data", "pca_projections.parquet"
+    )
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    emb = pd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    sig = int(
+        (emb["vec_id"] * np.floor(x[:, 0] * 1000).astype(np.int64)).sum()
+    )
+    fx = pd.read_parquet(fx_path)
+    fx = fx[fx["corpus_sig"] == sig].sort_values("vec_id").reset_index(drop=True)
+    assert len(fx) == len(emb), "fixture slice missing for sf0.001"
+    mean = x.mean(axis=0)
+    cov = np.cov(x.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    comps = evecs[:, order].T
+    for j in range(4):
+        i = np.argmax(np.abs(comps[j]))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    ref = (x[np.argsort(emb["vec_id"].to_numpy())] - mean) @ comps.T
+    got = fx[["pc0", "pc1", "pc2", "pc3"]].to_numpy()
+    assert np.allclose(got, ref, atol=2e-4)
+
+
 def test_partial_moments_one_row_per_partition(data, spark):
     """The distributed pass must emit ≤1 partial per PARTITION (not per
     Arrow batch) — the 100 TB driver-safety property, now enforced even

@@ -128,3 +128,41 @@ def test_hashtag_segmentation_lossless_property():
         assert "".join(out.split()) == tag.lower()
 
     check()
+
+
+def test_hashtag_fixture_matches_live_segmenter(spark):
+    """Drift guard for the pinned oracle backing str_hashtag_segment
+    (tools/build_pinned_oracles.py): the committed segmentations must
+    equal a fresh run of the live UDF over sf0.001. Fails after any
+    vocab-artifact or segmenter change: regenerate via
+    `python tools/build_pinned_oracles.py`."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from multi_task_offensive_language_detection_spark.operators.hashtag import (
+        segment_hashtags,
+        synth_hashtags_col,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    fx_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "data", "hashtag_segments.parquet"
+    )
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sig = d.agg(F.sum(F.col("doc_id") * F.col("n_chars"))).collect()[0][0]
+    live = d.select(
+        "doc_id", segment_hashtags(synth_hashtags_col()).alias("live_seg")
+    )
+    fx = (
+        spark.read.parquet(fx_path)
+        .filter(F.col("corpus_sig") == int(sig))
+        .select("doc_id", "segmented")
+    )
+    j = live.join(fx, "doc_id", "inner").cache()
+    assert j.count() == d.count()
+    mism = j.filter(F.col("live_seg") != F.col("segmented")).collect()
+    assert not mism, f"{len(mism)} fixture drifts, e.g. {mism[:3]}"
