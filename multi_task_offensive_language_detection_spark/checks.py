@@ -1853,6 +1853,109 @@ def audio_decode_stats(spark, sf):
 
 
 @check(
+    "audio_vad_stats",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 4 AS lead,
+             10 + doc_id % 7 AS speech,
+             doc_id % 3 AS tail
+      FROM documents WHERE doc_id < 300)
+    SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+           true AS ok,
+           CAST(lead + speech + tail AS INT) AS n_frames,
+           CAST(speech AS INT) AS n_speech_frames,
+           round(CAST(speech AS DOUBLE) / (lead + speech + tail), 6)
+             AS speech_ratio,
+           round(CAST(lead * 10 AS DOUBLE), 6) AS lead_trim_ms,
+           round(CAST((lead + speech) * 10 AS DOUBLE), 6) AS tail_keep_ms
+    FROM g
+    """,
+)
+def audio_vad_stats(spark, sf):
+    """Energy-based VAD on the hash: synthesize frame-aligned
+    silence|speech|silence clips per document
+    (operators/audio.synthetic_speech_pcm_udf — segment lengths are pure
+    functions of doc_id), run the framing VAD
+    (operators/audio.vad_stats_udf), and compare frame counts, speech
+    ratio, and the lead/tail trim points against their closed forms.
+    Silent frames have EXACTLY zero energy and speech frames sit orders
+    of magnitude above the threshold, so the classification is
+    knife-edge-free; behaviour on partial frames and undecodable
+    payloads is pinned in tests/test_audio.py."""
+    from .operators.audio import synthetic_speech_pcm_udf, with_vad_stats
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("clip_id"), "doc_id")
+        .withColumn("bytes", synthetic_speech_pcm_udf()(F.col("doc_id")))
+        .withColumn("codec", F.lit("pcm_s16le"))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    return with_vad_stats(d).select(
+        "clip_id",
+        F.col("vad.ok").alias("ok"),
+        F.col("vad.n_frames").alias("n_frames"),
+        F.col("vad.n_speech_frames").alias("n_speech_frames"),
+        F.round("vad.speech_ratio", 6).alias("speech_ratio"),
+        F.round("vad.lead_trim_ms", 6).alias("lead_trim_ms"),
+        F.round("vad.tail_keep_ms", 6).alias("tail_keep_ms"),
+    )
+
+
+@check(
+    "audio_chunk_stats",
+    """
+    WITH g AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n,
+             1024.0 * power(2, doc_id % 3) AS amp
+      FROM documents WHERE doc_id < 300),
+    c AS (
+      SELECT doc_id, n, amp,
+             unnest(range(0, CAST(floor((n + 319) / 320) AS INT))) AS chunk_idx
+      FROM g)
+    SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           round(CAST(chunk_idx * 20 AS DOUBLE), 6) AS start_ms,
+           CAST(least(320, n - 320 * chunk_idx) AS INT) AS n_samples,
+           round(amp / 32768.0, 9) AS rms
+    FROM c
+    """,
+)
+def audio_chunk_stats(spark, sf):
+    """Fixed-window chunking (training-data segmentation) on the hash:
+    the synthetic square waves (operators/audio.synthetic_pcm_udf) split
+    into 20 ms windows via operators/audio.chunk_clips — chunk count,
+    start offsets, last-partial length, and per-chunk RMS (constant
+    |amplitude| ⇒ exact power-of-two closed form) are all SQL-derivable
+    from doc_id. The re-encoded chunk BYTES round-trip bit-exactly in
+    tests/test_audio.py; both decode paths (raw/WAV) are exercised."""
+    from .operators.audio import chunk_clips, synthetic_pcm_udf
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("clip_id"), "doc_id")
+        .withColumn("bytes", synthetic_pcm_udf()(F.col("doc_id")))
+        .withColumn(
+            "codec",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("pcm_s16le")).otherwise(
+                F.lit("wav-pcm16")
+            ),
+        )
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    return chunk_clips(d, 20).select(
+        "clip_id",
+        "chunk_idx",
+        F.round("start_ms", 6).alias("start_ms"),
+        "n_samples",
+        F.round("rms", 9).alias("rms"),
+    )
+
+
+@check(
     "str_hashtag_segment",
     f"""
     SELECT doc_id, segmented

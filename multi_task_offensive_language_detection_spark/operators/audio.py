@@ -257,3 +257,225 @@ def resample_clips(df, target_sr: int, out_col: str = "audio_rs"):
     """Attach the resampled payload; downstream decode uses codec
     'pcm_s16le' with the new sr_hz."""
     return df.withColumn(out_col, resample_udf(target_sr)("bytes", "codec", "sr_hz"))
+
+
+# --- energy-based VAD / silence trim ---------------------------------------
+
+VAD_RESULT = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_speech_frames", T.IntegerType()),
+        T.StructField("speech_ratio", T.DoubleType()),
+        T.StructField("lead_trim_ms", T.DoubleType()),
+        T.StructField("tail_keep_ms", T.DoubleType()),
+    ]
+)
+
+
+def vad_stats_udf(frame_ms: int = 10, energy_thresh: float = 1e-6):
+    """(bytes, codec, sr_hz) → energy-VAD struct: frame the decoded PCM
+    into fixed ``frame_ms`` windows, mark a frame speech when its mean
+    square exceeds ``energy_thresh``, and emit the frame counts plus the
+    lead/tail trim points (first speech frame start, last speech frame
+    end, in ms) a silence-trim pass would cut to. The quality-filter
+    use: drop clips whose speech_ratio is ~0 (dead air) or whose
+    trimmed duration falls under the length gate — the audio-side
+    analogue of the transcript length rule. A trailing partial frame is
+    counted as a frame (its mean square is over its real length).
+
+    Pure numpy over Arrow batches, one pass per clip; undecodable
+    payloads yield ok=false with zeroed counts."""
+
+    @F.pandas_udf(VAD_RESULT)
+    def _vad(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        for data, codec, sr in it:
+            n = len(data)
+            ok = np.zeros(n, dtype=bool)
+            nf = np.zeros(n, dtype=np.int32)
+            nsp = np.zeros(n, dtype=np.int32)
+            ratio = np.zeros(n, dtype=np.float64)
+            lead = np.zeros(n, dtype=np.float64)
+            tail = np.zeros(n, dtype=np.float64)
+            for i in range(n):
+                try:
+                    s = int(sr.iloc[i]) if sr.iloc[i] is not None else 0
+                    if s <= 0:
+                        continue
+                    pcm = decode_pcm(data.iloc[i], codec.iloc[i]).astype(np.float64)
+                except (ValueError, IndexError, TypeError):
+                    continue
+                if len(pcm) == 0:
+                    continue
+                flen = max(int(s * frame_ms / 1000), 1)
+                k = -(-len(pcm) // flen)  # ceil
+                pad = np.zeros(k * flen)
+                pad[: len(pcm)] = pcm
+                sq = (pad * pad).reshape(k, flen).sum(axis=1)
+                # per-frame mean over the REAL frame length (last partial)
+                lens = np.full(k, flen, dtype=np.float64)
+                lens[-1] = len(pcm) - flen * (k - 1)
+                speech = (sq / lens) > energy_thresh
+                ok[i] = True
+                nf[i] = k
+                nsp[i] = int(speech.sum())
+                ratio[i] = nsp[i] / k
+                if nsp[i]:
+                    idx = np.flatnonzero(speech)
+                    lead[i] = idx[0] * flen * 1000.0 / s
+                    end = min((idx[-1] + 1) * flen, len(pcm))
+                    tail[i] = end * 1000.0 / s
+            yield pd.DataFrame(
+                {
+                    "ok": ok,
+                    "n_frames": nf,
+                    "n_speech_frames": nsp,
+                    "speech_ratio": ratio,
+                    "lead_trim_ms": lead,
+                    "tail_keep_ms": tail,
+                }
+            )
+
+    return _vad
+
+
+def with_vad_stats(df, frame_ms: int = 10, energy_thresh: float = 1e-6, out_col: str = "vad"):
+    """Attach energy-VAD stats; same sampled-audit guidance as
+    with_audio_stats (touching ``bytes`` defeats column pruning)."""
+    return df.withColumn(
+        out_col, vad_stats_udf(frame_ms, energy_thresh)("bytes", "codec", "sr_hz")
+    )
+
+
+def synthetic_speech_pcm_udf(sr_hz: int = 16000, frame_ms: int = 10):
+    """Deterministic silence|speech|silence generator for the VAD check:
+    given an integer id, emits (id%4) silent frames, then
+    10 + (id%7) square-wave frames at A = 1024·2^(id%3), then (id%3)
+    silent frames — all frame-aligned (frame = sr·frame_ms/1000
+    samples), raw pcm_s16le. Every VAD output therefore has a closed
+    form in id: silence frames have EXACTLY zero energy and speech
+    frames (A/32768)² ≫ threshold, so the frame classification is
+    knife-edge-free (checks.audio_vad_stats)."""
+    flen = sr_hz * frame_ms // 1000
+
+    @F.pandas_udf(T.BinaryType())
+    def _make(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for raw_id in ids:
+                d = int(raw_id)
+                lead, speech, tail = d % 4, 10 + d % 7, d % 3
+                amp = 1024 << (d % 3)
+                pcm = np.zeros((lead + speech + tail) * flen, dtype=np.int16)
+                seg = np.empty(speech * flen, dtype=np.int16)
+                seg[0::2] = amp
+                seg[1::2] = -amp
+                pcm[lead * flen : (lead + speech) * flen] = seg
+                out.append(pcm.tobytes())
+            yield pd.Series(out)
+
+    return _make
+
+
+# --- fixed-window chunking (training-data segmentation) --------------------
+
+CHUNK_ROW = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("start_ms", T.DoubleType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+)
+
+
+def chunk_udf(chunk_ms: int, hop_ms: int | None = None, drop_last: bool = False):
+    """(bytes, codec, sr_hz) → array of chunk structs: slice the decoded
+    PCM into ``chunk_ms`` windows every ``hop_ms`` (defaults to
+    chunk_ms, i.e. non-overlapping), re-encoding each chunk as raw
+    pcm_s16le plus its per-chunk RMS — the standard segmentation step
+    that turns long recordings into model-sized training rows. The
+    final partial window is kept (its true length) unless
+    ``drop_last``. Callers explode the array into one row per chunk
+    (operators/audio.chunk_clips); at 10^12-clip scale the explode
+    stays in the same Arrow stage and the output is REPARTITIONED by
+    chunk key downstream if a shuffle is needed — never collected."""
+    hop_ms = chunk_ms if hop_ms is None else hop_ms
+
+    @F.pandas_udf(CHUNK_ROW)
+    def _chunk(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for data, codec, sr in it:
+            rows = []
+            for i in range(len(data)):
+                try:
+                    s = int(sr.iloc[i]) if sr.iloc[i] is not None else 0
+                    if s <= 0:
+                        rows.append(None)
+                        continue
+                    pcm = decode_pcm(data.iloc[i], codec.iloc[i])
+                except (ValueError, IndexError, TypeError):
+                    rows.append(None)
+                    continue
+                if len(pcm) == 0:
+                    rows.append(None)
+                    continue
+                clen = max(int(s * chunk_ms / 1000), 1)
+                hop = max(int(s * hop_ms / 1000), 1)
+                chunks = []
+                idx = 0
+                for start in range(0, len(pcm), hop):
+                    seg = pcm[start : start + clen]
+                    if len(seg) == 0 or (drop_last and len(seg) < clen):
+                        break
+                    q = np.clip(
+                        np.rint(seg.astype(np.float64) * 32768.0), -32768, 32767
+                    ).astype(np.int16)
+                    chunks.append(
+                        {
+                            "chunk_idx": idx,
+                            "start_ms": start * 1000.0 / s,
+                            "n_samples": len(seg),
+                            "rms": float(
+                                np.sqrt(np.mean(seg.astype(np.float64) ** 2))
+                            ),
+                            "bytes": q.tobytes(),
+                        }
+                    )
+                    idx += 1
+                    if start + clen >= len(pcm):
+                        break
+                rows.append(chunks)
+            yield pd.Series(rows)
+
+    return _chunk
+
+
+def chunk_clips(
+    df,
+    chunk_ms: int,
+    hop_ms: int | None = None,
+    drop_last: bool = False,
+    id_col: str = "clip_id",
+):
+    """One row per chunk: (id_col, chunk_idx, start_ms, n_samples, rms,
+    bytes) with bytes re-encoded pcm_s16le at the source rate."""
+    c = df.withColumn("_chunks", chunk_udf(chunk_ms, hop_ms, drop_last)(
+        "bytes", "codec", "sr_hz"
+    ))
+    return c.select(
+        id_col, F.explode("_chunks").alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_ms").alias("start_ms"),
+        F.col("c.n_samples").alias("n_samples"),
+        F.col("c.rms").alias("rms"),
+        F.col("c.bytes").alias("bytes"),
+    )

@@ -95,3 +95,77 @@ def test_resample_matches_numpy_reference_and_preserves_tone(spark):
     assert (got == ref).all()
     # a resample back down recovers the original within LSB rounding
     assert out["n"] is None or out["n"]["bytes"] is None
+
+
+# --- VAD + chunking (r5) ---------------------------------------------------
+
+
+def _pcm_bytes(x: np.ndarray) -> bytes:
+    return x.astype("<i2").tobytes()
+
+
+def test_vad_partial_frame_and_silence(spark):
+    """Partial trailing frame uses its REAL length for the mean-square;
+    all-silence clips report zero speech; undecodable → ok=false."""
+    from multi_task_offensive_language_detection_spark.operators.audio import (
+        with_vad_stats,
+    )
+
+    sr = 16000  # frame = 160 samples at 10ms
+    speech = np.empty(160 * 2 + 80, dtype=np.int16)  # 2.5 frames of tone
+    speech[0::2] = 4096
+    speech[1::2] = -4096
+    rows = [
+        ("tone_partial", _pcm_bytes(speech), "pcm_s16le", sr),
+        ("silence", _pcm_bytes(np.zeros(320, dtype=np.int16)), "pcm_s16le", sr),
+        ("garbage", b"\x01", "wav-pcm16", sr),
+        ("lead_sil", _pcm_bytes(np.concatenate([
+            np.zeros(160, dtype=np.int16), speech])), "pcm_s16le", sr),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    out = {r["clip_id"]: r for r in with_vad_stats(df).select("clip_id", "vad.*").collect()}
+    t = out["tone_partial"]
+    assert t["ok"] and t["n_frames"] == 3 and t["n_speech_frames"] == 3
+    assert t["lead_trim_ms"] == 0.0
+    assert abs(t["tail_keep_ms"] - (400 / 16.0)) < 1e-9  # 400 samples kept
+    s = out["silence"]
+    assert s["ok"] and s["n_speech_frames"] == 0 and s["speech_ratio"] == 0.0
+    assert s["lead_trim_ms"] == 0.0 and s["tail_keep_ms"] == 0.0
+    assert out["garbage"]["ok"] is False
+    l = out["lead_sil"]
+    assert l["n_frames"] == 4 and l["n_speech_frames"] == 3
+    assert abs(l["lead_trim_ms"] - 10.0) < 1e-9
+
+
+def test_chunk_bytes_roundtrip_bitexact(spark):
+    """Chunk payloads decode back to EXACTLY the source slice (pcm16 →
+    float → re-encode is lossless for int16 inputs); overlap and
+    drop_last behave per contract."""
+    from multi_task_offensive_language_detection_spark.operators.audio import (
+        chunk_clips,
+        decode_pcm,
+    )
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(-32768, 32767, size=1000, dtype=np.int16)
+    df = spark.createDataFrame(
+        [("c1", _pcm_bytes(src), "pcm_s16le", 16000)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    # 20ms chunks = 320 samples: expect 1000 -> 320,320,320,40
+    got = (
+        chunk_clips(df, 20).orderBy("chunk_idx").collect()
+    )
+    assert [r["n_samples"] for r in got] == [320, 320, 320, 40]
+    assert [round(r["start_ms"], 6) for r in got] == [0.0, 20.0, 40.0, 60.0]
+    for r in got:
+        dec = (decode_pcm(r["bytes"], "pcm_s16le") * 32768.0).astype(np.int16)
+        lo = r["chunk_idx"] * 320
+        assert np.array_equal(dec, src[lo : lo + r["n_samples"]])
+    # 50% overlap: hop 160 samples
+    ov = chunk_clips(df, 20, hop_ms=10).orderBy("chunk_idx").collect()
+    assert [r["n_samples"] for r in ov][:3] == [320, 320, 320]
+    assert abs(ov[1]["start_ms"] - 10.0) < 1e-9
+    # drop_last drops the 40-sample tail
+    dl = chunk_clips(df, 20, drop_last=True).collect()
+    assert sorted(r["n_samples"] for r in dl) == [320, 320, 320]
