@@ -816,3 +816,64 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+
+def token_ngram_hashes(col: Column, n: int = 13) -> Column:
+    """Token-level n-gram hash array: lowercase, split on non-word runs,
+    hash each n-token window once with xxhash64 over the joined window.
+    Texts shorter than n tokens produce an EMPTY array (they cannot
+    contain a full n-gram). All JVM-side; the transform/sequence HOF is
+    interpreted, but it runs over ≤(tokens−n+1) slots per row and the
+    per-slot work is one concat+hash — hashing each window ONCE here
+    beats re-hashing grams in every downstream comparison."""
+    toks = F.filter(F.split(F.lower(col), r"\W+"), lambda t: t != F.lit(""))
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    key_col: str,
+    ref_text_col: str | None = None,
+    n: int = 13,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Remove rows whose text shares ANY token-level n-gram with a
+    reference corpus (benchmark decontamination — the standard guard
+    against test-set leakage into training data; 13 tokens is the
+    common published window).
+
+    Plan: hash the reference's distinct n-grams once (tiny next to the
+    training side — benchmarks are MBs, training sets are TBs), then a
+    LEFT ANTI join from the exploded training grams' DISTINCT
+    (key, gram) pairs back to doc keys. With ``broadcast_ref`` the anti
+    join is map-side (zero shuffle of the big side beyond the explode's
+    own stage); flip it off if the reference is genuinely large and let
+    the shuffle hash join partition both sides by gram. Returns df rows
+    that survive, original schema."""
+    ref_grams = (
+        ref.select(F.explode(token_ngram_hashes(F.col(ref_text_col or text_col), n)).alias("g"))
+        .distinct()
+    )
+    if broadcast_ref:
+        ref_grams = F.broadcast(ref_grams)
+    doc_grams = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(token_ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    contaminated = (
+        doc_grams.join(ref_grams, "g", "left_semi").select("_k").distinct()
+    )
+    return df.join(
+        contaminated, df[key_col] == contaminated["_k"], "left_anti"
+    )

@@ -145,3 +145,47 @@ def select_to_budget(
         .filter(F.col("_cum") <= budget)
         .drop("_cum")
     )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    budget_rows: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stratified sampling to a target domain mixture: keep
+    approximately ``budget_rows`` rows distributed across groups in
+    proportion to ``weights`` (normalized; groups absent from the dict
+    are dropped). The corpus-mixing counterpart of select_to_budget —
+    rates give PROPORTIONS where budgets give absolute per-group totals.
+
+    Per-group keep rates come from one tiny groupBy-count (G rows to the
+    driver, G = #domains); a group whose target exceeds its population
+    caps at rate 1.0 (undersupplied domains keep everything — the
+    standard behavior; re-normalize upstream if strictness matters).
+    Row selection is HASH-based, not Bernoulli: keep iff
+    pmod(xxhash64(id, seed), 1e6) < rate·1e6 — deterministic across
+    runs/retries (a re-executed task keeps exactly the same rows, so
+    speculative execution and stage retries cannot change the output,
+    which df.sample cannot promise), seed-switchable, and embarrassingly
+    parallel (no shuffle beyond the count's partial agg)."""
+    norm = sum(weights.values())
+    if norm <= 0:
+        raise ValueError("weights must sum to a positive value")
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[group_col] in weights
+    }
+    rates = {
+        g: min(1.0, (budget_rows * weights[g] / norm) / counts[g])
+        for g in counts
+        if counts[g] > 0
+    }
+    rate_col = F.create_map(
+        *[x for g, r in rates.items() for x in (F.lit(g), F.lit(r))]
+    )[F.col(group_col)]
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    return df.filter(bucket < (rate_col * 1_000_000.0))

@@ -365,3 +365,39 @@ def test_substring_spans_property_vs_brute_force(spark):
         for r in dedup.substring_dup_spans(df, "doc_id", "text", k=k).collect():
             got.setdefault(r["doc_id"], set()).add((r["span_start"], r["span_len"]))
         assert got == _brute_spans(texts, k), (trial, texts)
+
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    """Benchmark decontamination: any shared token 13-gram (here n=4 for
+    a compact fixture) disqualifies the training row; short texts
+    (< n tokens) can never be contaminated; key and schema survive."""
+    from multi_task_offensive_language_detection_spark.operators.dedup import (
+        decontaminate,
+        token_ngram_hashes,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about spark plans"),
+            (3, "QUICK Brown FOX jumps far away"),  # case/punct-insensitive hit
+            (4, "tiny text"),  # < n tokens: never contaminated
+            (5, "the quick brown foxtrot jumps over"),  # no shared 4-gram
+        ],
+        "doc_id int, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps high")],
+        "rid int, text string",
+    )
+    out = decontaminate(train, ref, "text", "doc_id", n=4)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 4, 5]
+    assert out.columns == train.columns
+    # short-text guard: empty gram array, not a whole-text pseudo-gram
+    g = spark.createDataFrame([("a b c",)], "t string").select(
+        token_ngram_hashes(F.col("t"), 4).alias("g")
+    ).collect()[0]["g"]
+    assert g == []
+    # non-broadcast path agrees
+    out2 = decontaminate(train, ref, "text", "doc_id", n=4, broadcast_ref=False)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [2, 4, 5]
