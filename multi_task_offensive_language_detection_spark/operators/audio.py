@@ -465,13 +465,21 @@ def chunk_clips(
     id_col: str = "clip_id",
 ):
     """One row per chunk: (id_col, chunk_idx, start_ms, n_samples, rms,
-    bytes) with bytes re-encoded pcm_s16le at the source rate."""
+    bytes) with bytes re-encoded pcm_s16le at the source rate.
+
+    explode_OUTER + post-filter on purpose: plain explode makes Catalyst
+    synthesize a pre-Generate null/size filter on the UDF column, and
+    since the UDF is deterministic the optimizer DUPLICATES the Arrow
+    stage to evaluate it (two ArrowEvalPython nodes = the whole decode
+    runs twice). The outer variant needs no pre-filter, so the plan
+    keeps ONE Python stage and drops null rows JVM-side after the
+    Generate (plan-locked in tests/test_plan_shape.py)."""
     c = df.withColumn("_chunks", chunk_udf(chunk_ms, hop_ms, drop_last)(
         "bytes", "codec", "sr_hz"
     ))
     return c.select(
-        id_col, F.explode("_chunks").alias("c")
-    ).select(
+        id_col, F.explode_outer("_chunks").alias("c")
+    ).filter(F.col("c").isNotNull()).select(
         id_col,
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.col("c.start_ms").alias("start_ms"),

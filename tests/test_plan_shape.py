@@ -164,3 +164,43 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     assert got == expect
     spark.sql("DROP TABLE IF EXISTS t_bkt_a")
     spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_chunk_and_vad_single_python_stage(spark):
+    """r5 audio ops: chunking's UDF + explode stay ONE ArrowEvalPython
+    (the explode runs JVM-side over the returned array — no second
+    Python boundary), and VAD is likewise a single Arrow stage with no
+    row-at-a-time Python anywhere."""
+    from multi_task_offensive_language_detection_spark.operators.audio import (
+        chunk_clips,
+        with_vad_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", b"\x00\x00" * 400, "pcm_s16le", 16000)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    for out in (chunk_clips(df, 20), with_vad_stats(df)):
+        plan = _formatted_plan(out, spark)
+        tree = _tree(plan)
+        assert len(re.findall(r"ArrowEvalPython", tree)) == 1, tree
+        assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_reference_no_cartesian(spark):
+    """r5 decontamination: the reference gram side must broadcast (both
+    the semi and the anti join are BroadcastHashJoins — zero shuffle of
+    the training side beyond its own gram explode) and nothing plans as
+    a cartesian/nested-loop product."""
+    from multi_task_offensive_language_detection_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    train = spark.range(100).selectExpr(
+        "id as doc_id", "concat('alpha beta gamma delta epsilon zeta ', id) as text"
+    )
+    ref = spark.range(5).selectExpr("id as rid", "'alpha beta gamma delta' as text")
+    plan = _formatted_plan(decontaminate(train, ref, "text", "doc_id", n=4), spark)
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree, tree
+    assert len(re.findall(r"BroadcastHashJoin", tree)) >= 2, tree
