@@ -401,3 +401,20 @@ def test_decontaminate_removes_ngram_overlap(spark):
     # non-broadcast path agrees
     out2 = decontaminate(train, ref, "text", "doc_id", n=4, broadcast_ref=False)
     assert sorted(r["doc_id"] for r in out2.collect()) == [2, 4, 5]
+
+
+def test_decontaminate_null_text_survives(spark):
+    """NULL transcript → NULL gram array → explode emits nothing → the
+    row can never be contaminated (consistent with the engine's
+    NULL≡'' convention: empty text holds no n-gram)."""
+    from multi_task_offensive_language_detection_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, None), (2, "shared four gram phrase here")],
+        "doc_id int, text string",
+    )
+    ref = spark.createDataFrame([(9, "shared four gram phrase")], "rid int, text string")
+    out = decontaminate(train, ref, "text", "doc_id", n=4)
+    assert [r["doc_id"] for r in out.collect()] == [1]
