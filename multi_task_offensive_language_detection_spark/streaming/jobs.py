@@ -66,6 +66,42 @@ def stream_dedup(df: DataFrame, keys: list[str], delay: str = "1 hour") -> DataF
     return df.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """T7 — stream-stream inner join on a key plus a time-INTERVAL
+    condition: each left event pairs with the right events of the same
+    key that occur in [left.ts, left.ts + within]. Both sides carry a
+    watermark and the join condition bounds event-time distance, which
+    is what lets Spark EXPIRE buffered state (an unbounded-time
+    stream-stream join would hold both streams forever — the watermark
+    plus the interval is the state-retention contract, and the reason
+    this shape is 100 TB-safe where an unconstrained one is not).
+
+    Batch/stream parity: in a replay with no late data the streaming
+    result equals the identical batch join (the pytest oracle)."""
+    l = left.withWatermark("ts", delay).alias("l")
+    r = right.withWatermark("ts", delay).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + interval {within}"
+        ),
+        "inner",
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.unix_timestamp("l.ts").alias("left_ts_s"),
+        F.unix_timestamp("r.ts").alias("right_ts_s"),
+    )
+
+
 def stateful_session_stats(
     df: DataFrame, gap_minutes: int = 30, watermark_delay: str = "0 seconds"
 ) -> DataFrame:

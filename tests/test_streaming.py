@@ -220,3 +220,50 @@ def test_stream_to_snapshot_store_is_exactly_once(spark, tmp_path):
     # a genuinely new batch id still lands
     replay(spark.createDataFrame([(4, "fr")], schema), 2)
     assert sorted(r["id"] for r in store.read(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_stream_stream_interval_join_parity(spark, events_path, tmp_path):
+    """T7 — stream-stream interval join over two file streams equals the
+    identical batch join (no late data in a replay). The interval bound
+    + watermark is what makes buffered join state expirable."""
+    batch_events = spark.read.parquet(events_path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # split into two event streams: clicks (left) and purchases (right)
+    left_b = batch_events.filter(F.col("event_id") % 2 == 0)
+    right_b = batch_events.filter(F.col("event_id") % 2 == 1)
+    expected = {
+        (r["user_id"], r["left_event_id"], r["right_event_id"])
+        for r in jobs.stream_stream_interval_join(left_b, right_b).collect()
+    }
+    assert expected, "fixture must produce at least one interval pair"
+
+    import shutil
+
+    schema = _events_schema(spark, events_path)
+    dirs = {}
+    for side, part in (("l", left_b), ("r", right_b)):
+        d = str(tmp_path / f"src_{side}")
+        part.write.mode("overwrite").parquet(d)
+        dirs[side] = d
+    ls = spark.readStream.schema(schema).parquet(dirs["l"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    rs = spark.readStream.schema(schema).parquet(dirs["r"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    q = (
+        jobs.stream_stream_interval_join(ls, rs)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["left_event_id"], r["right_event_id"])
+        for r in spark.sql("select * from ssj_test").collect()
+    }
+    assert got == expected
