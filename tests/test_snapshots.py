@@ -123,3 +123,41 @@ def test_schema_evolution_reads_merged(spark, store):
         r["doc_id"]: r for r in store.read(spark, merge_schema=True).collect()
     }
     assert got[1]["score"] is None and got[2]["score"] == 0.9
+
+
+def test_vacuum_commits_journal_before_deleting_files(spark, store, monkeypatch):
+    """r5 crash-ordering fix: the truncated journal must land (atomic
+    replace) BEFORE any data file is removed. A crash mid-deletion then
+    leaves re-vacuumable orphans and CLEAN ValueError time travel — the
+    old delete-first order left the journal referencing missing files
+    (a confusing Spark read error instead)."""
+    import os as _os
+
+    s1 = store.append(_df(spark, [(1, "en", "a")]))
+    s2 = store.overwrite_partitions(_df(spark, [(2, "en", "b")]))
+
+    real_remove = _os.remove
+    calls = {"n": 0}
+
+    def crashing_remove(path):
+        calls["n"] += 1
+        raise OSError("injected crash before any file deletion")
+
+    monkeypatch.setattr(
+        "multi_task_offensive_language_detection_spark.sources.snapshots.os.remove",
+        crashing_remove,
+    )
+    with pytest.raises(OSError, match="injected"):
+        store.vacuum(keep_last=1)
+    monkeypatch.undo()
+    assert calls["n"] == 1  # the crash hit the FIRST deletion attempt
+
+    # journal already truncated: vacuumed snapshot raises the documented
+    # clean error, NOT a Spark missing-file failure
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        store.read(spark, as_of=s1)
+    # the surviving snapshot still reads fine (its files were never touched)
+    assert [r["doc_id"] for r in store.read(spark, as_of=s2).collect()] == [2]
+    # and a re-run finishes the cleanup
+    removed = store.vacuum(keep_last=1)
+    assert removed, "orphaned files from the crashed vacuum get collected"
