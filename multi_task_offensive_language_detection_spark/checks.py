@@ -82,9 +82,49 @@ def project_rename(spark, sf):
     return d.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("len"))
 
 
-@check("filter_notnull", "SELECT event_id FROM events WHERE props IS NOT NULL")
-def filter_notnull(spark, sf):
-    return _t(spark, sf, "events").filter(F.col("props").isNotNull()).select("event_id")
+# filter_notnull retired in r5 (rotation capacity is exactly 2×DRIVER_WINDOW
+# keys and the decontamination key replaced it): IS NOT NULL predicates stay
+# hash-covered by `null_handling` (F17b) and by the WHERE clauses of a dozen
+# other keys; the trivial standalone projection added no distinct coverage.
+
+
+@check(
+    "dedup_decontaminate",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    g AS (
+      -- range() is EXCLUSIVE of its upper bound: the last gram starts at
+      -- len-3, so the bound is len-4+2 (an off-by-one here silently
+      -- drops every document's tail gram — caught by the r5 gate)
+      SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+      FROM tok, LATERAL unnest(range(1, len(t) - 4 + 2)) AS u(i)
+      WHERE len(t) >= 4),
+    ref AS (SELECT DISTINCT gram FROM g WHERE doc_id < 25),
+    bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ref USING (gram)
+            WHERE g.doc_id >= 25)
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def dedup_decontaminate(spark, sf):
+    """D10 — benchmark decontamination as a FULL-oracle key: docs < 25
+    play the held-out benchmark, the rest are training rows; any shared
+    token 4-gram disqualifies (production default is 13 — the tiny
+    synthetic corpus needs n=4 for a discriminating hit rate: 41/475
+    contaminated at sf0.01). The engine matches grams by xxhash64 while
+    the oracle matches the gram STRINGS — hash collisions would surface
+    as a hash mismatch here, so the check also guards the gram-hash
+    integrity. Tokenization is ASCII-\\W splitting on both engines."""
+    from .operators import dedup as D
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") < 25)
+    train = d.filter(F.col("doc_id") >= 25)
+    return D.decontaminate(train, ref, "text", "doc_id", n=4).select("doc_id")
 
 
 @check(
