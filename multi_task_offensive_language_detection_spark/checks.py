@@ -1371,11 +1371,17 @@ def stream_session(spark, sf):
 
 @check("pipeline_documents")  # rows-only: langid/ppl UDFs aren't SQL
 def pipeline_documents(spark, sf):
-    """The flagship pipeline over the documents stand-in (SURVEY.md M1)."""
+    """The flagship pipeline over the documents stand-in (SURVEY.md M1),
+    through the PRODUCTION shape: salted repartition BEFORE scoring —
+    without it the sf0.1 table is one 580 KB parquet file, so the whole
+    Arrow stage ran as ONE task with 31 cores idle (the r4 verdict
+    flagged the single-task harness shape; production always salts,
+    plans/pipeline.py)."""
     from .artifacts_build import build_all
-    from .plans.pipeline import score_transcripts
+    from .plans.pipeline import salted_repartition, score_transcripts
 
     d = _t(spark, sf, "documents").withColumnRenamed("text", "transcript")
+    d = salted_repartition(d, spark.sparkContext.defaultParallelism, key="doc_id")
     scored = score_transcripts(d, "transcript", build_all(), id_col="doc_id")
     return scored.select(
         "doc_id", "keep", "label_a", "drop_reason", "scrubbed_transcript"
