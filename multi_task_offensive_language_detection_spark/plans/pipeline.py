@@ -191,9 +191,20 @@ def run_clips_pipeline(
     ledger_dir: str,
     artifact_dir: str | None = None,
     num_partitions: int | None = None,
+    sink: str = "hive",
 ) -> dict:
     """Resume-aware batch job (SURVEY.md §4.4): process only pending
-    partitions, commit each atomically, append ledger rows last."""
+    partitions, commit each atomically, append ledger rows last.
+
+    ``sink``: ``hive`` (default) commits each partition by atomic
+    directory rename into ``out_path``; ``snapshots`` commits ALL
+    pending partitions as ONE snapshot of a SnapshotStore at
+    ``out_path`` (sources/snapshots.py — the Iceberg-shaped table:
+    dynamic partition overwrite, journal meta records the processed
+    parts, readers get time travel across job runs). A crash between
+    the snapshot commit and the ledger commit makes the rerun
+    re-overwrite the same partitions — idempotent by the store's
+    overwrite semantics, with the orphaned snapshot vacuumable."""
     artifacts = build_all(artifact_dir)
     all_parts = list_parts(in_path)
     fps = {p: part_fingerprint(in_path, p) for p in all_parts}
@@ -247,12 +258,24 @@ def run_clips_pipeline(
     }
 
     wall_ms = int((time.monotonic() - t0) * 1000)
-    os.makedirs(out_path, exist_ok=True)
+    if sink == "snapshots":
+        from ..sources.snapshots import SnapshotStore
+
+        store = SnapshotStore(out_path, "part_id")
+        store.overwrite_partitions(
+            spark.read.option("basePath", staging).parquet(staging),
+            meta={"job": "clips_pipeline", "parts": sorted(pending)},
+        )
+    elif sink != "hive":
+        raise ValueError(f"unknown sink {sink!r} (expected 'hive' or 'snapshots')")
+    else:
+        os.makedirs(out_path, exist_ok=True)
     for p in pending:
-        src = os.path.join(staging, f"part_id={p}")
-        dst = os.path.join(out_path, f"part_id={p}")
-        shutil.rmtree(dst, ignore_errors=True)
-        os.replace(src, dst)  # atomic per-partition commit
+        if sink == "hive":
+            src = os.path.join(staging, f"part_id={p}")
+            dst = os.path.join(out_path, f"part_id={p}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)  # atomic per-partition commit
         r = stats.get(p)
         ledger.commit(
             LedgerEntry(

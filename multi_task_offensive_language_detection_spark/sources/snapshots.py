@@ -132,17 +132,19 @@ class SnapshotStore:
             merged[k] = merged[k] + fs
         return self._commit("append", merged, meta)
 
-    def overwrite_partitions(self, df: DataFrame) -> int:
+    def overwrite_partitions(self, df: DataFrame, meta: dict | None = None) -> int:
         """Dynamic partition overwrite: partitions present in df are
         replaced (their OLD files stay on disk for time travel until
-        vacuumed); untouched partitions carry over."""
+        vacuumed); untouched partitions carry over. ``meta`` rides the
+        journal record like append's (e.g. the batch pipeline's
+        processed-parts list)."""
         snaps = self.snapshots()
         base = dict(snaps[-1]["files"]) if snaps else {}
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         new = self._stage_files(df, sid)
         merged = {k: list(v) for k, v in base.items()}
         merged.update(new)
-        return self._commit("overwrite_partitions", merged)
+        return self._commit("overwrite_partitions", merged, meta)
 
     # -- reads --------------------------------------------------------------
 

@@ -35,6 +35,14 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--artifact-dir", default=None)
     ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument(
+        "--sink",
+        choices=["hive", "snapshots"],
+        default="hive",
+        help="hive: atomic per-partition directory commits (default); "
+        "snapshots: one snapshot-store commit per run (time travel "
+        "across runs, journal meta records the processed parts)",
+    )
     args = ap.parse_args()
 
     spark = build_session(app_name="mtold-filter-job", master=args.master)
@@ -46,6 +54,7 @@ def main() -> None:
             ledger_dir=args.ledger,
             artifact_dir=args.artifact_dir,
             num_partitions=args.num_partitions,
+            sink=args.sink,
         )
         print(json.dumps(summary))
     finally:

@@ -159,3 +159,44 @@ def test_missing_input_raises_not_silent_noop(spark, tmp_path):
         run_clips_pipeline(
             spark, str(tmp_path / "nope"), str(tmp_path / "o"), str(tmp_path / "l")
         )
+
+
+def test_snapshot_sink_resume_and_time_travel(spark, artifacts, small_clips, tmp_path):
+    """--sink snapshots: each run commits ONE snapshot of the store
+    (journal meta = the processed parts); a killed-and-resumed run
+    overwrites only the missing partitions, the final table is complete
+    and unduplicated, and the pre-resume snapshot is still readable
+    (time travel across job runs)."""
+    from multi_task_offensive_language_detection_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    _, clips_dir = small_clips
+    out, led = str(tmp_path / "snap_tbl"), str(tmp_path / "ledger")
+
+    s1 = run_clips_pipeline(spark, clips_dir, out, led, sink="snapshots")
+    assert s1["processed_parts"] == 16
+    store = SnapshotStore(out, "part_id")
+    snaps = store.snapshots()
+    assert len(snaps) == 1
+    assert snaps[0]["meta"]["parts"] == sorted(range(16))
+    assert store.read(spark).count() == 400
+
+    # rerun: nothing pending, no new snapshot
+    s2 = run_clips_pipeline(spark, clips_dir, out, led, sink="snapshots")
+    assert s2["processed_parts"] == 0 and len(store.snapshots()) == 1
+
+    # simulate a kill: drop two ledger markers -> only those parts rerun
+    for p in (2, 9):
+        os.remove(f"{led}/part-{p:06d}.json")
+    s3 = run_clips_pipeline(spark, clips_dir, out, led, sink="snapshots")
+    assert s3["processed_parts"] == 2
+    snaps = store.snapshots()
+    assert len(snaps) == 2 and snaps[-1]["meta"]["parts"] == [2, 9]
+    latest = store.read(spark)
+    assert latest.count() == 400
+    assert latest.select("clip_id").distinct().count() == 400
+    # time travel: the first run's table is intact under the new snapshot
+    assert store.read(spark, as_of=snaps[0]["snapshot_id"]).count() == 400
+    for k in ("n_in", "n_keep", "n_scrub_edits"):
+        assert s3[k] == s1[k], f"counter {k} drifted across snapshot resume"
