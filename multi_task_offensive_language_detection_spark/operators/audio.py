@@ -487,3 +487,89 @@ def chunk_clips(
         F.col("c.rms").alias("rms"),
         F.col("c.bytes").alias("bytes"),
     )
+
+
+# --- loudness normalization -------------------------------------------------
+
+NORMALIZE_RESULT = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("gain", T.DoubleType()),
+        T.StructField("rms_before", T.DoubleType()),
+        T.StructField("rms_after", T.DoubleType()),
+        T.StructField("clipped", T.IntegerType()),
+    ]
+)
+
+
+def normalize_gain_udf(target_rms: float = 0.1, mode: str = "rms", peak_ceiling: float = 0.99):
+    """(bytes, codec, sr_hz) → struct<bytes, gain, rms_before, rms_after,
+    clipped>: scale the decoded PCM to a target loudness and re-encode
+    pcm_s16le — the corpus gain-normalization step ahead of feature
+    extraction (quiet clips amplified, hot clips attenuated, so
+    energy-based ops like the VAD see one operating point).
+
+    ``mode='rms'``: gain = target_rms / rms, then capped so the scaled
+    peak stays ≤ ``peak_ceiling`` (no wrap-around clipping; the
+    ``clipped`` count reports samples that still hit the int16 rail
+    after the cap — 0 by construction unless the cap is disabled).
+    ``mode='peak'``: gain = peak_ceiling / peak.
+    Silent or undecodable payloads pass through with gain 1.0 / NULL
+    bytes respectively."""
+    if mode not in ("rms", "peak"):
+        raise ValueError(f"mode must be 'rms' or 'peak', got {mode!r}")
+
+    @F.pandas_udf(NORMALIZE_RESULT)
+    def _norm(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        for data, codec, sr in it:
+            n = len(data)
+            out_b: list = [None] * n
+            gain = np.ones(n, dtype=np.float64)
+            rb = np.zeros(n, dtype=np.float64)
+            ra = np.zeros(n, dtype=np.float64)
+            clip = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                try:
+                    pcm = decode_pcm(data.iloc[i], codec.iloc[i]).astype(np.float64)
+                except (ValueError, IndexError, TypeError):
+                    continue
+                if len(pcm) == 0:
+                    continue
+                rms = float(np.sqrt(np.mean(pcm * pcm)))
+                peak = float(np.max(np.abs(pcm)))
+                rb[i] = rms
+                if peak == 0.0:
+                    g = 1.0  # silence: nothing to scale
+                elif mode == "peak":
+                    g = peak_ceiling / peak
+                else:
+                    g = (target_rms / rms) if rms > 0 else 1.0
+                    g = min(g, peak_ceiling / peak)  # cap: no clipping
+                scaled = pcm * g
+                q = np.rint(scaled * 32768.0)
+                clip[i] = int(np.sum((q > 32767) | (q < -32768)))
+                q = np.clip(q, -32768, 32767).astype(np.int16)
+                out_b[i] = q.tobytes()
+                gain[i] = g
+                ra[i] = float(np.sqrt(np.mean(scaled * scaled)))
+            yield pd.DataFrame(
+                {
+                    "bytes": out_b,
+                    "gain": gain,
+                    "rms_before": rb,
+                    "rms_after": ra,
+                    "clipped": clip,
+                }
+            )
+
+    return _norm
+
+
+def normalize_clips(df, target_rms: float = 0.1, mode: str = "rms", out_col: str = "audio_norm"):
+    """Attach the gain-normalized payload (codec 'pcm_s16le', source
+    rate unchanged)."""
+    return df.withColumn(
+        out_col, normalize_gain_udf(target_rms, mode)("bytes", "codec", "sr_hz")
+    )

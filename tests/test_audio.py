@@ -169,3 +169,51 @@ def test_chunk_bytes_roundtrip_bitexact(spark):
     # drop_last drops the 40-sample tail
     dl = chunk_clips(df, 20, drop_last=True).collect()
     assert sorted(r["n_samples"] for r in dl) == [320, 320, 320]
+
+
+def test_normalize_gain_rms_and_peak(spark):
+    """Gain normalization: RMS mode hits the target unless the peak cap
+    binds; peak mode scales the peak to the ceiling; silence passes
+    through untouched; normalized payloads decode to the scaled signal."""
+    from multi_task_offensive_language_detection_spark.operators.audio import (
+        decode_pcm,
+        normalize_clips,
+    )
+
+    quiet = np.empty(800, dtype=np.int16)   # ±1024 square: rms 1/32
+    quiet[0::2] = 1024
+    quiet[1::2] = -1024
+    hot = np.empty(800, dtype=np.int16)     # ±16384: rms 0.5 > target
+    hot[0::2] = 16384
+    hot[1::2] = -16384
+    rows = [
+        ("quiet", _pcm_bytes(quiet), "pcm_s16le", 16000),
+        ("hot", _pcm_bytes(hot), "pcm_s16le", 16000),
+        ("silence", _pcm_bytes(np.zeros(100, dtype=np.int16)), "pcm_s16le", 16000),
+        ("garbage", b"xx", "wav-pcm16", 16000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    out = {r["clip_id"]: r for r in normalize_clips(df, target_rms=0.1).select("clip_id", "audio_norm.*").collect()}
+    q = out["quiet"]
+    # gain 0.1/(1/32)=3.2; scaled peak 0.1 << ceiling, so target reached
+    assert abs(q["rms_after"] - 0.1) < 1e-6 and q["clipped"] == 0
+    dec = decode_pcm(q["bytes"], "pcm_s16le")
+    assert abs(float(np.sqrt(np.mean(dec.astype(np.float64) ** 2))) - 0.1) < 1e-3
+    h = out["hot"]
+    assert abs(h["rms_after"] - 0.1) < 1e-6 and h["gain"] < 1.0
+    s = out["silence"]
+    assert s["gain"] == 1.0 and s["rms_after"] == 0.0
+    assert out["garbage"]["bytes"] is None
+
+    # peak mode: ceiling 0.99 regardless of starting level
+    pk = {r["clip_id"]: r for r in normalize_clips(df, mode="peak").select("clip_id", "audio_norm.*").collect()}
+    for cid in ("quiet", "hot"):
+        dec = decode_pcm(pk[cid]["bytes"], "pcm_s16le")
+        assert abs(float(np.max(np.abs(dec))) - 0.99) < 2e-3, cid
+
+    # rms mode with an extreme target: the peak cap binds, zero clipping
+    capped = {r["clip_id"]: r for r in normalize_clips(df, target_rms=5.0).select("clip_id", "audio_norm.*").collect()}
+    c = capped["quiet"]
+    assert c["clipped"] == 0
+    dec = decode_pcm(c["bytes"], "pcm_s16le")
+    assert float(np.max(np.abs(dec))) <= 0.9901
