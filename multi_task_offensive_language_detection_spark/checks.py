@@ -1206,7 +1206,7 @@ def udtf_sentence_explode(spark, sf):
     SELECT vec_id, pc0, pc1, pc2, pc3
     FROM read_parquet('{_PCA_FIXTURE}')
     WHERE corpus_sig = (SELECT CAST(sum(vec_id *
-            CAST(floor(embedding[1] * 1000) AS BIGINT)) AS BIGINT)
+            CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
           FROM embeddings)
     """,
 )

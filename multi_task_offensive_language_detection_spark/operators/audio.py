@@ -401,7 +401,13 @@ def chunk_udf(chunk_ms: int, hop_ms: int | None = None, drop_last: bool = False)
     pcm_s16le plus its per-chunk RMS — the standard segmentation step
     that turns long recordings into model-sized training rows. The
     final partial window is kept (its true length) unless
-    ``drop_last``. Callers explode the array into one row per chunk
+    ``drop_last``. Overlap mode (``hop_ms < chunk_ms``) stops at
+    COVERAGE, not at the last hop offset: chunking ends with the first
+    window whose end reaches the clip end, so every sample is covered
+    exactly once past the overlap and no trailing suffix windows
+    (strict sub-windows of the last emitted chunk) are produced —
+    callers wanting those suffixes should re-chunk the tail
+    explicitly. Callers explode the array into one row per chunk
     (operators/audio.chunk_clips); at 10^12-clip scale the explode
     stays in the same Arrow stage and the output is REPARTITIONED by
     chunk key downstream if a shuffle is needed — never collected."""

@@ -205,6 +205,8 @@ def run_clips_pipeline(
     the snapshot commit and the ledger commit makes the rerun
     re-overwrite the same partitions — idempotent by the store's
     overwrite semantics, with the orphaned snapshot vacuumable."""
+    if sink not in ("hive", "snapshots"):
+        raise ValueError(f"unknown sink {sink!r} (expected 'hive' or 'snapshots')")
     artifacts = build_all(artifact_dir)
     all_parts = list_parts(in_path)
     fps = {p: part_fingerprint(in_path, p) for p in all_parts}
@@ -266,8 +268,6 @@ def run_clips_pipeline(
             spark.read.option("basePath", staging).parquet(staging),
             meta={"job": "clips_pipeline", "parts": sorted(pending)},
         )
-    elif sink != "hive":
-        raise ValueError(f"unknown sink {sink!r} (expected 'hive' or 'snapshots')")
     else:
         os.makedirs(out_path, exist_ok=True)
     for p in pending:
