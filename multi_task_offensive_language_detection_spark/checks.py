@@ -2764,16 +2764,122 @@ def correctness_history(repo_root: str | None = None) -> dict[str, int]:
     return last
 
 
-def rotation_order(registered: list[str], last: dict[str, int] | None = None) -> list[str]:
-    """Registration order for the driver window: never-verified keys
-    first (new operators always land inside the window), then ascending
-    by the round of their most recent driver row (stalest first).
-    sorted() is stable, so equal-round keys keep their decorator order —
-    the rotation is deterministic given the same history files."""
+def correctness_red(repo_root: str | None = None) -> set[str]:
+    """Keys whose MOST RECENT driver row is red: any explicit False in
+    rows/schema/hash match, or an error other than the by-design
+    ``no_oracle`` marker of rows-only keys. A red key must re-run in
+    the very next round — one-round latency on a red cell is the
+    difference between 'fixed' and 'claimed fixed' (r5 verdict)."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, dict]] = {}
+    for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):  # pragma: no cover - defensive
+            continue
+        if not isinstance(data, dict):  # pragma: no cover - defensive
+            continue
+        for k, row in data.items():
+            if isinstance(row, dict) and (
+                k not in latest or rnd >= latest[k][0]
+            ):
+                latest[k] = (rnd, row)
+
+    def _is_red(row: dict) -> bool:
+        if any(
+            row.get(f) is False for f in ("rows_match", "schema_match", "hash_match")
+        ):
+            return True
+        return row.get("err") not in (None, "no_oracle")
+
+    return {k for k, (_, row) in latest.items() if _is_red(row)}
+
+
+def oracle_fingerprint(sql: str) -> str:
+    """Whitespace-insensitive fingerprint of an oracle SQL string, used
+    to detect 'the oracle changed after its last driver row' — such a
+    key needs driver re-confirmation just like a stale one."""
+    import hashlib as _hashlib
+
+    return _hashlib.sha256(" ".join(sql.split()).encode()).hexdigest()[:16]
+
+
+_FPRINT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_fingerprints.json")
+
+
+def oracle_changed_keys(
+    oracles: dict[str, str] | None = None, path: str | None = None
+) -> set[str]:
+    """Keys whose CURRENT oracle SQL no longer matches the fingerprint
+    recorded at their last green driver row (tools/record_oracle_fingerprints.py
+    maintains the committed store). Keys with no recorded fingerprint are
+    treated as unchanged — never-verified keys are fast-tracked by their
+    own rule, and the bootstrap run records everything else."""
+    import json as _json
+
+    if oracles is None:
+        oracles = ORACLES
+    p = path or _FPRINT_PATH
+    try:
+        with open(p) as f:
+            recorded = _json.load(f)
+    except (OSError, ValueError):
+        return set()
+    return {
+        k
+        for k, sql in oracles.items()
+        if k in recorded and recorded[k].get("fp") != oracle_fingerprint(sql)
+    }
+
+
+def rotation_order(
+    registered: list[str],
+    last: dict[str, int] | None = None,
+    red: set[str] | None = None,
+    changed: set[str] | None = None,
+) -> list[str]:
+    """Registration order for the driver window, most-urgent first:
+
+    1. RED keys (latest driver row failed) — a red cell may never wait
+       out a round;
+    2. never-verified keys (new operators always land inside the window);
+    3. keys whose oracle SQL changed since their last driver row
+       (the fingerprint store says the last green row no longer vouches
+       for the current oracle);
+    4. everything else ascending by last-verified round (stalest first).
+
+    sorted() is stable, so equal-urgency keys keep their decorator
+    order — the rotation is deterministic given the same history files.
+    When ``last`` is passed explicitly (unit tests), red/changed default
+    to empty instead of being read from disk."""
     if last is None:
         last = correctness_history()
+        if red is None:
+            red = correctness_red()
+        if changed is None:
+            changed = oracle_changed_keys()
+    red = red or set()
+    changed = changed or set()
     idx = {k: i for i, k in enumerate(registered)}
-    return sorted(registered, key=lambda k: (last.get(k, -1), idx[k]))
+    return sorted(
+        registered,
+        key=lambda k: (
+            0 if k in red else 1,
+            0 if last.get(k, -1) < 0 else 1,
+            0 if k in changed else 1,
+            last.get(k, -1),
+            idx[k],
+        ),
+    )
 
 
 _ORDER = rotation_order(list(QUERIES))

@@ -57,3 +57,64 @@ def test_registered_order_matches_generator():
     assert order == checks.rotation_order(order)  # idempotent fixpoint
     oracle_keys = list(checks.ORACLES)
     assert oracle_keys == [k for k in order if k in checks.ORACLES]
+
+
+def test_red_key_sorts_first_even_when_fresh():
+    """r5 verdict #2: a hash-RED key may never wait out a round — it must
+    lead the next window even if its red row is from the latest round."""
+    order = checks.rotation_order(
+        ["a", "b", "c"], {"a": 5, "b": 4, "c": 5}, red={"c"}
+    )
+    assert order[0] == "c"
+    assert order == ["c", "b", "a"]
+
+
+def test_changed_oracle_sorts_after_new_before_stale():
+    """A key whose oracle SQL changed since its last green row needs
+    driver re-confirmation: it sorts behind never-verified keys but
+    ahead of merely-stale ones."""
+    order = checks.rotation_order(
+        ["fresh", "stale", "edited", "new"],
+        {"fresh": 5, "stale": 4, "edited": 5},
+        changed={"edited"},
+    )
+    assert order == ["new", "edited", "stale", "fresh"]
+
+
+def test_oracle_changed_keys_detects_fingerprint_mismatch(tmp_path):
+    import json
+
+    store = tmp_path / "fp.json"
+    oracles = {"k1": "SELECT 1", "k2": "SELECT 2", "k3": "SELECT 3"}
+    store.write_text(
+        json.dumps(
+            {
+                "k1": {"round": 5, "fp": checks.oracle_fingerprint("SELECT 1")},
+                "k2": {"round": 5, "fp": checks.oracle_fingerprint("OLD SQL")},
+            }
+        )
+    )
+    changed = checks.oracle_changed_keys(oracles, path=str(store))
+    # k1 matches, k2 mismatches, k3 has no record (treated unchanged)
+    assert changed == {"k2"}
+    # fingerprints are whitespace-insensitive: reformatting isn't a change
+    assert checks.oracle_fingerprint("SELECT  1\n") == checks.oracle_fingerprint(
+        "SELECT 1"
+    )
+
+
+def test_fingerprint_store_covers_green_oracled_keys():
+    """The committed store must vouch for every oracled key with a green
+    driver row — otherwise a future oracle edit on it goes undetected."""
+    import json
+
+    with open(checks._FPRINT_PATH) as f:
+        recorded = json.load(f)
+    last = checks.correctness_history()
+    red = checks.correctness_red()
+    missing = [
+        k
+        for k in checks.ORACLES
+        if last.get(k, -1) >= 0 and k not in red and k not in recorded
+    ]
+    assert missing == [], f"unfingerprinted green keys: {missing}"
