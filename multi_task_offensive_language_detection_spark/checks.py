@@ -76,10 +76,10 @@ def scan_documents(spark, sf):
     return _t(spark, sf, "documents").select("doc_id", "text", "lang", "source", "n_chars")
 
 
-@check("project_rename", "SELECT doc_id AS id, n_chars AS len FROM documents")
-def project_rename(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("len"))
+# project_rename retired in r6 (rotation capacity: the stream_interval_join
+# key replaced it): bare select/alias projection stays hash-covered by the
+# aliased projections of nearly every other key — scan_documents, the
+# TPC-H trio, join_then_agg all rename columns on the hash.
 
 
 # filter_notnull retired in r5 (rotation capacity is exactly 2×DRIVER_WINDOW
@@ -1079,6 +1079,48 @@ def sample_token_budget(spark, sf):
 
 
 @check(
+    "sample_mixture",
+    """
+    WITH cnt AS (
+      SELECT source, count(*) AS n FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
+    r AS (
+      SELECT source,
+             least(1.0, (60.0 * CASE source
+                 WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                 WHEN 'src2' THEN 0.125 ELSE 0.125 END / 1.0) / n) AS rate
+      FROM cnt)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE (d.doc_id * 2654435761) % 1000000 < r.rate * 1000000.0
+    """,
+)
+def sample_mixture(spark, sf):
+    """Q7 — deterministic mixture sampling (operators/quality.
+    sample_to_mixture): keep ~60 rows at a 0.5/0.25/0.125/0.125 source
+    mix via per-group hash rates; src0's target exceeds its population,
+    pinning the rate-1.0 cap, and sources outside the weight dict are
+    dropped. The oracle mirrors the rate arithmetic step for step
+    (binary weights sum to exactly 1.0, so both engines compute
+    bit-identical doubles and the bucket<rate·1e6 comparison cannot
+    straddle). Selection uses the injectable Knuth-hash bucket because
+    the oracle engine lacks xxhash64 (split_hash_mod precedent); the
+    xxhash64 default path is pytest-pinned in tests/test_curation.py."""
+    from .operators.quality import sample_to_mixture
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000))
+    return sample_to_mixture(
+        d,
+        "source",
+        "doc_id",
+        weights={"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        budget_rows=60,
+        bucket=bucket,
+    ).select("doc_id", "source")
+
+
+@check(
     "dedup_substring_spans",
     """
     WITH g0 AS (
@@ -1366,6 +1408,39 @@ def stream_session(spark, sf):
         "session_end_s",
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@check(
+    "stream_interval_join",
+    """
+    SELECT l.user_id AS user_id,
+           l.event_id AS left_event_id, r.event_id AS right_event_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS left_ts_s,
+           CAST(floor(epoch(r.ts)) AS BIGINT) AS right_ts_s
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join(spark, sf):
+    """T7 — stream-stream interval join (streaming/jobs.py
+    stream_stream_interval_join), driven through the OPERATOR itself:
+    withWatermark is a no-op on batch inputs (Catalyst's
+    EliminateEventTimeWatermark), so the identical code path that runs
+    under Structured Streaming yields the batch interval self-join the
+    oracle expresses directly. Even events pair with the odd events of
+    the same user within the following hour; replay parity between this
+    batch shape and a real two-stream run is pinned in
+    tests/test_streaming.py."""
+    from .streaming import jobs as _jobs
+
+    e = _t(spark, sf, "events")
+    return _jobs.stream_stream_interval_join(
+        e.filter(F.col("event_id") % 2 == 0),
+        e.filter(F.col("event_id") % 2 == 1),
+        within="1 hour",
     )
 
 
@@ -2002,6 +2077,60 @@ def audio_chunk_stats(spark, sf):
 
 
 @check(
+    "audio_normalize_stats",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CAST(800 + (doc_id % 5) * 160 AS INT) AS n,
+             1024.0 * power(2, doc_id % 3) / 32768.0 AS a
+      FROM documents WHERE doc_id < 300)
+    SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+           round(least(0.1 / a, 0.99 / a), 6) AS gain,
+           round(a, 9) AS rms_before,
+           round(a * least(0.1 / a, 0.99 / a), 9) AS rms_after,
+           CAST(0 AS INT) AS clipped,
+           n AS n_out
+    FROM g
+    """,
+)
+def audio_normalize_stats(spark, sf):
+    """M8 — loudness normalization (operators/audio.normalize_clips) on
+    the hash: the synthetic ±A square waves have rms = peak = A/32768
+    with A a power of two, so gain = min(target/rms, ceiling/peak) and
+    rms_after = rms·gain are EXACT closed forms — a·(0.1/a) is the
+    double 0.1 bit-for-bit in both engines because a is a power of two
+    (scaling by 2^k never rounds), and the capped gain can't clip
+    (clipped = 0 by construction). n_out pins that the payload was
+    re-encoded at full length. The peak mode, the cap actually binding,
+    and silence/garbage passthrough are pytest-pinned in
+    tests/test_audio.py."""
+    from .operators.audio import normalize_clips, synthetic_pcm_udf
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("clip_id"), "doc_id")
+        .withColumn("bytes", synthetic_pcm_udf()(F.col("doc_id")))
+        .withColumn(
+            "codec",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("pcm_s16le")).otherwise(
+                F.lit("wav-pcm16")
+            ),
+        )
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    n = normalize_clips(d, target_rms=0.1)
+    return n.select(
+        "clip_id",
+        F.round("audio_norm.gain", 6).alias("gain"),
+        F.round("audio_norm.rms_before", 9).alias("rms_before"),
+        F.round("audio_norm.rms_after", 9).alias("rms_after"),
+        F.col("audio_norm.clipped").alias("clipped"),
+        (F.length("audio_norm.bytes") / 2).cast("int").alias("n_out"),
+    )
+
+
+@check(
     "str_hashtag_segment",
     f"""
     SELECT doc_id, segmented
@@ -2354,48 +2483,16 @@ def str_levenshtein(spark, sf):
     )
 
 
-@check(
-    "map_from_json",
-    """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-                THEN 1 ELSE 0 END AS has_k
-    FROM events
-    """,
-)
-def map_from_json(spark, sf):
-    """F16 — from_json into a MapType + map access (the typed-parse form
-    of json field extraction)."""
-    from pyspark.sql import types as T
-
-    e = _t(spark, sf, "events")
-    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
-    return e.select(
-        "event_id",
-        m.getItem("k").alias("k_val"),
-        F.when(m.getItem("k").isNotNull(), 1).otherwise(0).alias("has_k"),
-    )
+# map_from_json retired in r6 (rotation capacity: the audio_normalize_stats
+# key replaced it): typed JSON field extraction stays hash-covered by
+# json_extract (get_json_object + from_json struct form over the same
+# events.props column); F16 keeps a full-oracle row through that key.
 
 
-@check(
-    "date_parts",
-    """
-    SELECT event_id,
-           CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
-           CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS h
-    FROM events
-    """,
-)
-def date_parts(spark, sf):
-    e = _t(spark, sf, "events")
-    return e.select(
-        "event_id",
-        F.year("ts").alias("y"),
-        F.month("ts").alias("m"),
-        F.dayofweek("ts").alias("dow"),
-        F.hour("ts").alias("h"),
-    )
+# date_parts retired in r6 (rotation capacity: the sample_mixture key
+# replaced it): calendar-part extraction stays hash-covered by
+# date_trunc_counts (F18's other key) and by every epoch-second cast in
+# the window/streaming keys; year/month/dow/hour remain pytest-covered.
 
 
 @check(

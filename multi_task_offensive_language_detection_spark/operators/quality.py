@@ -154,6 +154,7 @@ def sample_to_mixture(
     weights: dict[str, float],
     budget_rows: int,
     seed: int = 42,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Deterministic stratified sampling to a target domain mixture: keep
     approximately ``budget_rows`` rows distributed across groups in
@@ -170,7 +171,12 @@ def sample_to_mixture(
     runs/retries (a re-executed task keeps exactly the same rows, so
     speculative execution and stage retries cannot change the output,
     which df.sample cannot promise), seed-switchable, and embarrassingly
-    parallel (no shuffle beyond the count's partial agg)."""
+    parallel (no shuffle beyond the count's partial agg).
+
+    ``bucket`` overrides the selection hash with a caller-supplied
+    Column of uniform ints in [0, 1e6) — the driver check passes a
+    Knuth multiplicative hash because the oracle engine lacks xxhash64
+    (same pattern as split_hash_mod); production keeps the default."""
     norm = sum(weights.values())
     if norm <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -187,5 +193,6 @@ def sample_to_mixture(
     rate_col = F.create_map(
         *[x for g, r in rates.items() for x in (F.lit(g), F.lit(r))]
     )[F.col(group_col)]
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    if bucket is None:
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
     return df.filter(bucket < (rate_col * 1_000_000.0))
