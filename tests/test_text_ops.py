@@ -166,3 +166,38 @@ def test_hashtag_fixture_matches_live_segmenter(spark):
     assert j.count() == d.count()
     mism = j.filter(F.col("live_seg") != F.col("segmented")).collect()
     assert not mism, f"{len(mism)} fixture drifts, e.g. {mism[:3]}"
+
+
+def test_hashtag_fixture_handwritten_rows_pin_semantics():
+    """The pinned hashtag fixture carries HANDWRITTEN rows (corpus_sig
+    -1, written in tools/build_pinned_oracles.py from the documented
+    semantics + the vocab list, never from the engine). The live
+    segmenter must reproduce them — a semantics-drifting change cannot
+    silently re-pin itself by regenerating the fixture, because these
+    rows are not regenerated."""
+    import os
+
+    import pandas as pd
+
+    from multi_task_offensive_language_detection_spark.operators.hashtag import (
+        _default_vocab,
+        segment_hashtags_in_text,
+    )
+
+    fx_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "data", "hashtag_segments.parquet"
+    )
+    fx = pd.read_parquet(fx_path)
+    hand = fx[fx["corpus_sig"] == -1]
+    assert len(hand) >= 10, "handwritten golden rows missing from fixture"
+    assert hand["tag"].notna().all()
+    # engine-pinned rows must NOT carry a tag (they are regenerable)
+    assert fx[fx["corpus_sig"] != -1]["tag"].isna().all()
+    v = _default_vocab()
+    mx = max(map(len, v))
+    for _, row in hand.iterrows():
+        got = segment_hashtags_in_text(row["tag"], v, mx)
+        assert got == row["segmented"], (
+            f"segmenter disagrees with handwritten golden for {row['tag']!r}: "
+            f"{got!r} != {row['segmented']!r}"
+        )

@@ -5,12 +5,16 @@ testdata scale factor, pin its outputs into a committed parquet keyed
 by an arithmetic corpus signature both engines compute exactly, and
 let one static oracle SQL string pick the right slice at runtime.
 
-- ``hashtag_segments.parquet`` (corpus_sig, doc_id, segmented): the
-  greedy longest-match dictionary segmentation of the check's synthetic
-  hashtags. corpus_sig = sum(doc_id * n_chars) over documents — same
-  key as the flagship fixture. Independence guard: the goldens in
-  tests/test_text_ops.py pin the segmentation semantics; the fixture
-  drift test says when to regenerate.
+- ``hashtag_segments.parquet`` (corpus_sig, doc_id, tag, segmented):
+  the greedy longest-match dictionary segmentation of the check's
+  synthetic hashtags. corpus_sig = sum(doc_id * n_chars) over
+  documents — same key as the flagship fixture. Independence: besides
+  the engine-pinned slices (tag NULL), the fixture carries
+  HANDWRITTEN rows at corpus_sig = -1 whose segmentations were
+  derived by hand from the documented greedy semantics + the vocab
+  list (NEVER regenerated from the engine — see _HANDWRITTEN below);
+  tests/test_text_ops.py checks the live segmenter against them, so a
+  semantics-drifting regeneration cannot silently re-pin itself.
 
 - ``pca_projections.parquet`` (corpus_sig, vec_id, pc0..pc3): the k=4
   PCA projection of the embeddings table, rounded to 4 decimals (the
@@ -45,6 +49,32 @@ SF_DIRS = [
 ]
 
 
+# Engine-INDEPENDENT goldens: (input text, expected segmentation), written
+# BY HAND from the documented semantics (CamelCase split first; lowercase
+# runs greedy longest-prefix over the LM vocab; unmatched chars accrete)
+# plus membership/junction checks against the vocab LIST (data, not the
+# segmenter). Junction safety was verified by hand: no vocab word longer
+# than the intended first word is a prefix of any concatenated run here.
+# DO NOT regenerate these from the engine — their whole point is to fail
+# if a buggy segmenter change tries to re-pin itself via a rebuild.
+_HANDWRITTEN: list[tuple[str, str]] = [
+    ("hello #TheHouse and #thepeoplesaid ok", "hello the house and the people said ok"),
+    ("#GoodMorning", "good morning"),
+    ("#Spark2024Rocks", "spark 2024 rocks"),  # CamelCase+digits: no dict needed
+    ("#THEHOUSE", "thehouse"),  # all-caps run is ONE piece, never dict-split
+    ("#qqqzzz end", "qqqzzz end"),  # unknown chars accrete, never vanish
+    ("no tags here", "no tags here"),
+    ("#goodday", "good day"),
+    ("#seeyou", "see you"),
+    ("#aguaall", "agua all"),  # non-ASCII vocab word at a junction
+    ("#xxthehouse", "xx the house"),  # unknown prefix then greedy matches
+    ("#time2go", "time 2 go"),  # digits split the runs before the dict
+    ("#good #morning", "good morning"),  # every tag in the text is segmented
+    ("#thexxhouse", "the xx house"),  # unknown chunk between matches
+    ("plain # sign stays", "plain # sign stays"),  # bare '#' is not a tag
+]
+
+
 def build(spark=None, sf_dirs=None) -> None:
     from pyspark.sql import functions as F
 
@@ -71,6 +101,7 @@ def build(spark=None, sf_dirs=None) -> None:
             d.select(
                 F.lit(sig).alias("corpus_sig"),
                 "doc_id",
+                F.lit(None).cast("string").alias("tag"),
                 segment_hashtags(synth_hashtags_col()).alias("segmented"),
             )
         )
@@ -90,14 +121,27 @@ def build(spark=None, sf_dirs=None) -> None:
         )
 
     os.makedirs(DATA_DIR, exist_ok=True)
-    for name, parts, keys in (
-        ("hashtag_segments.parquet", ht_parts, ["corpus_sig", "doc_id"]),
-        ("pca_projections.parquet", pca_parts, ["corpus_sig", "vec_id"]),
+    import pandas as pd
+
+    hand = pd.DataFrame(
+        {
+            "corpus_sig": [-1] * len(_HANDWRITTEN),
+            "doc_id": [-(i + 1) for i in range(len(_HANDWRITTEN))],
+            "tag": [t for t, _ in _HANDWRITTEN],
+            "segmented": [s for _, s in _HANDWRITTEN],
+        }
+    )
+    for name, parts, keys, extra in (
+        ("hashtag_segments.parquet", ht_parts, ["corpus_sig", "doc_id"], hand),
+        ("pca_projections.parquet", pca_parts, ["corpus_sig", "vec_id"], None),
     ):
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
-        pdf = allp.toPandas().sort_values(keys).reset_index(drop=True)
+        pdf = allp.toPandas()
+        if extra is not None:
+            pdf = pd.concat([extra, pdf], ignore_index=True)
+        pdf = pdf.sort_values(keys).reset_index(drop=True)
         out = os.path.join(DATA_DIR, name)
         pdf.to_parquet(out, index=False)
         print(f"wrote {out}: {len(pdf)} rows")
