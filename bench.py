@@ -477,7 +477,13 @@ both min-wall.)
   native (scan+salt+PII) {udf_split and udf_split['native_stage_s']}s,
   full scoring {udf_split and udf_split['full_score_s']}s → Python
   (Arrow) stage share ≈
-  {udf_split and udf_split['python_stage_share']}.
+  {udf_split and udf_split['python_stage_share']}
+  (medians of interleaved runs {udf_split and udf_split.get('native_runs')} /
+  {udf_split and udf_split.get('full_runs')}; adjacent probe walls
+  {udf_split and udf_split.get('probe_walls_s')} — compare stage/probe
+  ratios across rounds, not raw walls, before calling a share move a
+  regression; r5's committed 0.873 was a loaded-epoch artifact of the
+  then-unprobed single measurement).
 
 ## Methodology changes by round (trend attribution)
 
@@ -596,21 +602,36 @@ def main() -> None:
         "bytes_per_bucket_max_over_median": round(r["mx"] / r["md"], 4),
         "bytes_per_bucket_min_over_median": round(r["mn"] / r["md"], 4),
     }
+    # r6: probe-bracket + interleave the split like the headline queries —
+    # r5's single unprobed measurement made an epoch-load spike read as a
+    # python_stage_share regression (0.748 → 0.873 in the committed record
+    # while the same session's calm-epoch clips walls implied no change).
     salted = salted_repartition(clips_df, int(CPUS) * 2)
-    t0 = time.monotonic()
-    salted.withColumn("_pii", scrub_pii(F.col("transcript"))).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    t_native = time.monotonic() - t0
-    t0 = time.monotonic()
-    score_transcripts(salted, "transcript", build_all(), dur_ms_col="dur_ms").write.mode(
-        "overwrite"
-    ).format("noop").save()
-    t_full = time.monotonic() - t0
+    split_probes = [probe_once()]
+    native_runs: list[float] = []
+    full_runs: list[float] = []
+    arts = build_all()
+    for _ in range(2):
+        t0 = time.monotonic()
+        salted.withColumn("_pii", scrub_pii(F.col("transcript"))).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        native_runs.append(round(time.monotonic() - t0, 2))
+        t0 = time.monotonic()
+        score_transcripts(salted, "transcript", arts, dur_ms_col="dur_ms").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        full_runs.append(round(time.monotonic() - t0, 2))
+        split_probes.append(probe_once())
+    t_native = _median(native_runs)
+    t_full = _median(full_runs)
     udf_split = {
         "native_stage_s": round(t_native, 2),
         "full_score_s": round(t_full, 2),
         "python_stage_share": round(max(t_full - t_native, 0.0) / t_full, 3),
+        "native_runs": native_runs,
+        "full_runs": full_runs,
+        "probe_walls_s": split_probes,
     }
     spark.stop()
 

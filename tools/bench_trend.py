@@ -53,8 +53,19 @@ def load_rounds() -> dict[int, dict]:
     if os.path.exists(cur):
         with open(cur) as f:
             parsed = json.load(f)
-        n = (max(rounds) + 1) if rounds else 0
-        rounds[n] = {**parsed, "_session": True}
+        # A stale bench_full.json left over from the run the driver
+        # already recorded as the latest BENCH_r{N}.json would print the
+        # same run twice (once as rN, once as rN+1) — skip the session
+        # record when its totals match the newest driver round.
+        latest = rounds.get(max(rounds)) if rounds else None
+        is_dup = (
+            latest is not None
+            and latest.get("value") == parsed.get("value")
+            and latest.get("queries") == parsed.get("queries")
+        )
+        if not is_dup:
+            n = (max(rounds) + 1) if rounds else 0
+            rounds[n] = {**parsed, "_session": True}
     return rounds
 
 
