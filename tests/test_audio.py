@@ -217,3 +217,85 @@ def test_normalize_gain_rms_and_peak(spark):
     assert c["clipped"] == 0
     dec = decode_pcm(c["bytes"], "pcm_s16le")
     assert float(np.max(np.abs(dec))) <= 0.9901
+
+
+def test_trim_silence_bitexact_and_edges(spark):
+    """M9 — trim_clips cuts exactly the speech span of the frame-aligned
+    silence|speech|silence generator: the trimmed bytes equal the
+    original speech segment bit-for-bit, the cut widths are the silent
+    segment durations, all-silence clips yield NULL bytes with the full
+    duration reported as lead cut, and garbage payloads are not ok."""
+    import numpy as np
+
+    from multi_task_offensive_language_detection_spark.operators.audio import (
+        trim_clips,
+    )
+
+    flen = 160  # 10 ms @ 16 kHz
+    rows = []
+    expected = {}
+    for d in (0, 5, 11):  # lead/speech/tail = d%4 / 10+d%7 / d%3
+        lead, speech, tail = d % 4, 10 + d % 7, d % 3
+        amp = 1024 << (d % 3)
+        seg = np.empty(speech * flen, dtype=np.int16)
+        seg[0::2] = amp
+        seg[1::2] = -amp
+        pcm = np.zeros((lead + speech + tail) * flen, dtype=np.int16)
+        pcm[lead * flen : (lead + speech) * flen] = seg
+        rows.append((f"c{d}", pcm.tobytes(), "pcm_s16le", 16000))
+        expected[f"c{d}"] = (seg.tobytes(), speech * flen, lead * 10.0, tail * 10.0)
+    rows.append(("silence", np.zeros(8 * flen, dtype=np.int16).tobytes(), "pcm_s16le", 16000))
+    rows.append(("garbage", b"\x01\x02\x03", "wav-pcm16", 16000))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    out = {r["clip_id"]: r for r in trim_clips(df).select("clip_id", "trimmed.*").collect()}
+
+    for cid, (seg_b, n, cut_l, cut_t) in expected.items():
+        r = out[cid]
+        assert r["ok"] and bytes(r["bytes"]) == seg_b  # bit-exact cut
+        assert r["n_samples"] == n
+        assert r["dur_ms"] == pytest.approx(n / 16.0)
+        assert r["cut_lead_ms"] == pytest.approx(cut_l)
+        assert r["cut_tail_ms"] == pytest.approx(cut_t)
+    sil = out["silence"]
+    assert sil["ok"] and sil["bytes"] is None and sil["n_samples"] == 0
+    assert sil["cut_lead_ms"] == pytest.approx(8 * 10.0)
+    assert not out["garbage"]["ok"]
+
+
+def test_zcr_closed_forms(spark):
+    """M10 — zero-crossing stats: a ±A per-sample alternating wave has
+    exactly n-1 strict sign changes; zeros never count (the
+    silence|speech|silence shape yields speech·flen−1); garbage is not
+    ok."""
+    import numpy as np
+
+    from multi_task_offensive_language_detection_spark.operators.audio import (
+        with_zcr_stats,
+    )
+
+    flen = 160
+    full = np.empty(800, dtype=np.int16)
+    full[0::2] = 2048
+    full[1::2] = -2048
+    lead, speech, tail = 2, 12, 1
+    seg = np.empty(speech * flen, dtype=np.int16)
+    seg[0::2] = 1024
+    seg[1::2] = -1024
+    framed = np.zeros((lead + speech + tail) * flen, dtype=np.int16)
+    framed[lead * flen : (lead + speech) * flen] = seg
+    rows = [
+        ("full", full.tobytes(), "pcm_s16le", 16000),
+        ("framed", framed.tobytes(), "pcm_s16le", 16000),
+        ("one", np.array([512], dtype=np.int16).tobytes(), "pcm_s16le", 16000),
+        ("garbage", b"\xff", "wav-pcm16", 16000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    out = {r["clip_id"]: r for r in with_zcr_stats(df).select("clip_id", "zcr.*").collect()}
+
+    assert out["full"]["ok"] and out["full"]["n_zero_cross"] == 799
+    assert out["full"]["zcr_per_s"] == pytest.approx(799 * 16000.0 / 800)
+    n_framed = (lead + speech + tail) * flen
+    assert out["framed"]["n_zero_cross"] == speech * flen - 1
+    assert out["framed"]["zcr_per_s"] == pytest.approx((speech * flen - 1) * 16000.0 / n_framed)
+    assert out["one"]["ok"] and out["one"]["n_zero_cross"] == 0
+    assert not out["garbage"]["ok"]
