@@ -317,6 +317,12 @@ METHODOLOGY_LOG = (
     "pipeline_documents +76% was epoch load). Full bench record moved "
     "to BENCH/bench_full.json; the stdout line is compact so the "
     "driver's tail capture can parse it (r4's was truncated).",
+    "r6: the UDF/native split is probe-bracketed and runs 3 interleaved "
+    "trials per stage (medians published with the run lists and the "
+    "adjacent probe walls) — r5's single unprobed measurement let an "
+    "epoch spike read as a python_stage_share regression (0.748->0.873 "
+    "in the committed record while the same session's calm clips walls "
+    "implied no change). Compare stage/probe ratios across rounds.",
 )
 
 
@@ -611,7 +617,7 @@ def main() -> None:
     native_runs: list[float] = []
     full_runs: list[float] = []
     arts = build_all()
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         salted.withColumn("_pii", scrub_pii(F.col("transcript"))).write.mode(
             "overwrite"

@@ -204,3 +204,30 @@ def test_decontaminate_broadcasts_reference_no_cartesian(spark):
     tree = _tree(plan)
     assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree, tree
     assert len(re.findall(r"BroadcastHashJoin", tree)) >= 2, tree
+
+
+def test_sample_mixture_is_pure_filter_no_shuffle(spark):
+    """Mixture sampling's row selection must stay a bare Filter over the
+    scan — the per-group rates ride a G-row driver collect, so the
+    returned plan has NO Exchange and NO Join (the property that makes
+    it retry-deterministic and embarrassingly parallel at 10^12 rows)."""
+    from multi_task_offensive_language_detection_spark import checks
+
+    df = checks.QUERIES["sample_mixture"](spark, "/root/testdata/sf0.001")
+    tree = _tree(_formatted_plan(df, spark))
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_stream_interval_join_no_cartesian(spark):
+    """The interval join must key on user_id (equi part) with the time
+    band as a post-join condition — a missing equi key would plan a
+    BroadcastNestedLoopJoin/CartesianProduct that cannot scale."""
+    from multi_task_offensive_language_detection_spark import checks
+
+    df = checks.QUERIES["stream_interval_join"](spark, "/root/testdata/sf0.001")
+    plan = _formatted_plan(df, spark)
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", tree), tree
