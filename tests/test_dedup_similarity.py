@@ -418,3 +418,50 @@ def test_decontaminate_null_text_survives(spark):
     ref = spark.createDataFrame([(9, "shared four gram phrase")], "rid int, text string")
     out = decontaminate(train, ref, "text", "doc_id", n=4)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_features_udf_matches_reference_kernels(spark):
+    """The r6 verify rework: _lsh_base computes (sig, sh) in ONE Arrow
+    pass and verify runs JVM set ops over sh. Two cross-kernel pins:
+    (a) the features signature equals the independent raw-stream
+    signature kernel (min over a multiset == min over its distinct
+    values, so the shared dedup must not change signatures);
+    (b) sh_jaccard over the precomputed arrays equals the independent
+    numpy re-shingle kernel jaccard_texts_udf for every pair — same
+    doubles, since both divide the same exact integers."""
+    from pyspark.sql import functions as F
+
+    from multi_task_offensive_language_detection_spark.operators import dedup
+
+    texts = [
+        "the people said they would go to the house",
+        "the people said they would go to the houses",
+        "completely different content over here today",
+        "aaaaaaaaaaaaaaa",
+        "tiny",  # shorter than n=5 → empty shingle set
+        "the people said they would go to the house",  # exact dup
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "k long, t string"
+    )
+    feat = df.withColumn("f", dedup.minhash64_features_udf(5)(F.col("t"))).select(
+        "k", "t", F.col("f.sig").alias("sig"), F.col("f.sh").alias("sh")
+    )
+    ref_sig = df.withColumn("rsig", dedup.minhash64_text_udf(5)(F.col("t")))
+    j = feat.join(ref_sig, ["k"])
+    assert j.filter(F.col("sig") != F.col("rsig")).count() == 0
+
+    a, b = feat.alias("a"), feat.alias("b")
+    pairs = a.join(b, F.col("a.k") < F.col("b.k")).select(
+        F.col("a.k").alias("k1"),
+        F.col("b.k").alias("k2"),
+        dedup.sh_jaccard(F.col("a.sh"), F.col("b.sh")).alias("j_arr"),
+        dedup.jaccard_texts_udf(5)(F.col("a.t"), F.col("b.t")).alias("j_txt"),
+    )
+    rows = pairs.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r["j_arr"] == r["j_txt"], (r["k1"], r["k2"], r["j_arr"], r["j_txt"])
+    # the planted near-dup really is near (sanity that the pin has teeth)
+    near = {(r["k1"], r["k2"]): r["j_arr"] for r in rows}
+    assert near[(0, 1)] > 0.8 and near[(0, 5)] == 1.0

@@ -80,14 +80,32 @@ def main():
         noop(cand)
         t[f"cand_join_distinct{tag}"] = time.monotonic() - t0
 
+        # legacy Arrow text-verify (re-shingles both texts per pair) —
+        # kept as the A/B comparator for the JVM set-op verify below
         txt = base_p.select(F.col("k"), F.col("t"))
-        full = (
+        legacy = (
             cand.join(txt.withColumnsRenamed({"k": "k1", "t": "t1"}), "k1")
             .join(txt.withColumnsRenamed({"k": "k2", "t": "t2"}), "k2")
             .select(
                 "k1",
                 "k2",
                 dedup.jaccard_texts_udf(5)(F.col("t1"), F.col("t2")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.5)
+        )
+        t0 = time.monotonic()
+        noop(legacy)
+        t[f"verify_text_udf{tag}"] = time.monotonic() - t0
+
+        # production verify (r6): precomputed sh arrays + JVM set ops
+        shs = base_p.select(F.col("k"), F.col("sh"))
+        full = (
+            cand.join(shs.withColumnsRenamed({"k": "k1", "sh": "sh1"}), "k1")
+            .join(shs.withColumnsRenamed({"k": "k2", "sh": "sh2"}), "k2")
+            .select(
+                "k1",
+                "k2",
+                dedup.sh_jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= 0.5)
         )
