@@ -167,10 +167,12 @@ _MINHASH_MASK = (1 << 64) - 1
 
 
 def _flat_shingle_hashes(texts: pd.Series, n: int):
-    """(unique-shingle uint64 hashes sorted by row, row boundary starts,
-    row ids) for a text batch — all numpy, nothing per-shingle crosses the
-    Arrow boundary (transferring shingle ARRAYS costs more than computing
-    them: 300 small strings/row of serde vs one rolling hash)."""
+    """(unique-shingle uint64 hashes sorted by row, row ids, row count)
+    for a text batch — all numpy. Shingle STRINGS never cross Arrow
+    (300 small strings/row of serde vs one rolling hash); the compact
+    int64 HASH arrays do cross once per document in
+    minhash64_features_udf, which is what lets verify run JVM-side
+    instead of re-shingling texts per candidate pair."""
     from ..functions.hashing import char_ngram_hashes_flat
 
     tl = [str(t) for t in texts.fillna("")]
