@@ -738,20 +738,44 @@ def lsh_index_query(
 
 @F.pandas_udf(T.LongType())
 def simhash64_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """64-bit SimHash over whitespace tokens (vectorized bit majority)."""
-    from ..functions.hashing import hash_bytes_u64
+    """64-bit SimHash over whitespace tokens — fully vectorized per Arrow
+    batch: ONE token_hash_batch call over the flattened batch tokens
+    (the perplexity gate's position-weighted polynomial kernel — SimHash
+    only needs a uniform 64-bit token hash), one (T, 64) bit expansion,
+    and per-row bit majorities via np.add.reduceat over row boundaries.
+    r6: replaced a per-row Python loop that hashed each token with a
+    per-BYTE scalar FNV — O(rows·tokens·bytes) interpreter work, the
+    last non-vectorized kernel in the dedup suite and a real cost at
+    10^12 rows. Measured 73 → 42 µs/row at 30 tokens/row (and the bit
+    expansion MUST be np.unpackbits on the little-endian byte view: the
+    obvious (T,64) uint64-shift expansion is 2× SLOWER than the old
+    loop on memory traffic alone). Values changed with the hash family;
+    every simhash property (identical→0, pigeonhole recall, cap) is
+    hash-agnostic and pytest-pinned."""
+    from ..functions.hashing import token_hash_batch
 
+    shifts = np.arange(64, dtype=np.uint64)
     for s in it:
-        out = np.zeros(len(s), dtype=np.int64)
-        for i, text in enumerate(s.fillna("")):
-            toks = str(text).lower().split()
-            if not toks:
-                continue
-            hs = np.array([hash_bytes_u64(t.encode()) for t in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            vote = (bits.sum(axis=0) * 2 - len(toks)) > 0
-            val = int(np.packbits(vote[::-1]).view(">u8")[0])
-            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        n = len(s)
+        out = np.zeros(n, dtype=np.int64)
+        toks_rows = [str(t).lower().split() for t in s.fillna("")]
+        counts = np.array([len(t) for t in toks_rows], dtype=np.int64)
+        if n and counts.sum():
+            flat = [w for row in toks_rows for w in row]
+            hs = token_hash_batch(flat)  # uint64 (T,)
+            bits = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            bounds = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            nonempty = counts > 0
+            # reduceat segments run to the NEXT nonempty row's start;
+            # empty rows contribute zero tokens, so each segment is
+            # exactly one nonempty row's tokens. int32: uint8 sums would
+            # wrap at 256 tokens per row
+            sums = np.add.reduceat(bits.astype(np.int32), bounds[nonempty], axis=0)
+            votes = (sums * 2 - counts[nonempty][:, None]) > 0
+            vals = (votes.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+            out[nonempty] = vals.view(np.int64)
         yield pd.Series(out)
 
 

@@ -299,3 +299,50 @@ def test_zcr_closed_forms(spark):
     assert out["framed"]["zcr_per_s"] == pytest.approx((speech * flen - 1) * 16000.0 / n_framed)
     assert out["one"]["ok"] and out["one"]["n_zero_cross"] == 0
     assert not out["garbage"]["ok"]
+
+
+def test_trim_silence_property_vs_independent_reference(spark):
+    """Property pin for trim_clips against an INDEPENDENT per-sample
+    reference: for random PCM with random silent padding, recompute the
+    speech span with a plain-Python frame loop (no shared code with
+    _speech_bounds) and require the trimmed bytes to be exactly the
+    int16 slice of the original payload between those bounds."""
+    import numpy as np
+
+    from multi_task_offensive_language_detection_spark.operators.audio import (
+        trim_clips,
+    )
+
+    rng = np.random.default_rng(1234)
+    sr, frame_ms, thresh = 16000, 10, 1e-6
+    flen = sr * frame_ms // 1000
+    rows, ref = [], {}
+    for case in range(12):
+        n = int(rng.integers(1, 40) * flen + rng.integers(0, flen))  # partial tail
+        pcm = np.zeros(n, dtype=np.int16)
+        # random speech bursts
+        for _ in range(int(rng.integers(0, 4))):
+            a = int(rng.integers(0, n))
+            b = min(n, a + int(rng.integers(1, 5 * flen)))
+            pcm[a:b] = rng.integers(300, 8000, b - a, dtype=np.int16)
+        cid = f"p{case}"
+        rows.append((cid, pcm.tobytes(), "pcm_s16le", sr))
+        # independent reference: per-frame mean square over real length
+        f = pcm.astype(np.float64) / 32768.0
+        k = -(-n // flen)
+        speech = []
+        for i in range(k):
+            seg = f[i * flen : min((i + 1) * flen, n)]
+            speech.append(float(np.mean(seg * seg)) > thresh)
+        if any(speech):
+            first = speech.index(True)
+            last = len(speech) - 1 - speech[::-1].index(True)
+            a, b = first * flen, min((last + 1) * flen, n)
+            ref[cid] = pcm[a:b].tobytes()
+        else:
+            ref[cid] = None
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    out = {r["clip_id"]: r for r in trim_clips(df).select("clip_id", "trimmed.*").collect()}
+    for cid, expect in ref.items():
+        got = out[cid]["bytes"]
+        assert (bytes(got) if got is not None else None) == expect, cid
