@@ -118,3 +118,25 @@ def test_fingerprint_store_covers_green_oracled_keys():
         if last.get(k, -1) >= 0 and k not in red and k not in recorded
     ]
     assert missing == [], f"unfingerprinted green keys: {missing}"
+
+
+def test_next_round_window_covers_remaining_stale():
+    """Forward simulation of the upcoming driver gate: after the current
+    window's keys all record a row, the FOLLOWING round's window must
+    still cover every then-stale key. Pins the retire-to-add capacity
+    math (registered keys ≤ 2×DRIVER_WINDOW with balanced cohorts) one
+    round ahead, so a key swap that silently unbalances the cohorts
+    fails here instead of starving keys two rounds later."""
+    last = checks.correctness_history()
+    order = list(checks.QUERIES)
+    window = order[: checks.DRIVER_WINDOW]
+    nxt = dict(last)
+    rnd = max(last.values()) + 1
+    for k in window:
+        nxt[k] = rnd
+    order2 = checks.rotation_order(order, nxt)
+    future_window = set(order2[: checks.DRIVER_WINDOW])
+    stale = [
+        k for k in order2 if nxt.get(k, -1) < rnd and k not in future_window
+    ]
+    assert stale == [], f"keys that would starve in round {rnd + 1}: {stale}"
