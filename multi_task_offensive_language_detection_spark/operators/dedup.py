@@ -470,8 +470,11 @@ def minhash_lsh_pairs(
       reports the dropped mass with the same parameters."""
     base = _lsh_base(df, key_col, text_col, n, num_hashes)
     # persisted: the banding explode AND the verify join re-read this
-    # frame (at table scale: persist to disk / checkpoint the features)
-    base = base.persist()
+    # frame (at table scale: persist to disk / checkpoint the features).
+    # The raw text is dropped first — verify runs on the sh arrays, so
+    # persisting t would only add bytes to the cache and the verify
+    # joins' build sides
+    base = base.select("k", "sig", "sh").persist()
 
     banded = _lsh_banded(base, num_hashes, bands)
 

@@ -65,8 +65,10 @@ def main():
         noop(capped)
         t[f"capped{tag}"] = time.monotonic() - t0
 
+        # legacy two-sided self-join pair-gen (superseded in r4 by the
+        # collect_set shape below, kept for comparison)
         l, r = capped.alias("l"), capped.alias("r")
-        cand = (
+        cand_join = (
             l.join(
                 r,
                 (F.col("l.band") == F.col("r.band"))
@@ -77,8 +79,26 @@ def main():
             .distinct()
         )
         t0 = time.monotonic()
-        noop(cand)
+        noop(cand_join)
         t[f"cand_join_distinct{tag}"] = time.monotonic() - t0
+
+        # PRODUCTION pair-gen (the committed minhash_lsh_pairs shape):
+        # one hash-agg + double explode, no self-join hash build
+        grouped = (
+            capped.groupBy("band", "bh")
+            .agg(F.collect_set("k").alias("ks"))
+            .filter(F.size("ks") >= 2)
+        )
+        cand = (
+            grouped.select("ks", F.explode("ks").alias("k1"))
+            .select("k1", F.explode("ks").alias("k2"))
+            .filter(F.col("k1") < F.col("k2"))
+            .select("k1", "k2")
+            .distinct()
+        )
+        t0 = time.monotonic()
+        noop(cand)
+        t[f"cand_collectset{tag}"] = time.monotonic() - t0
 
         # legacy Arrow text-verify (re-shingles both texts per pair) —
         # kept as the A/B comparator for the JVM set-op verify below
