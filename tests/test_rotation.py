@@ -105,17 +105,30 @@ def test_oracle_changed_keys_detects_fingerprint_mismatch(tmp_path):
 
 def test_fingerprint_store_covers_green_oracled_keys():
     """The committed store must vouch for every oracled key with a green
-    driver row — otherwise a future oracle edit on it goes undetected."""
+    driver row — otherwise a future oracle edit on it goes undetected.
+
+    Lifecycle exemption (r6 verdict #1): the driver writes each round's
+    CORRECTNESS file AFTER the builder's final commit, so a key whose
+    FIRST green row arrives in a round newer than anything the store has
+    seen cannot have been recorded yet — that is the record-at-next-
+    session-start contract of tools/record_oracle_fingerprints.py, not a
+    coverage hole. Only keys green at or before the store's latest
+    recorded round are required to be present."""
     import json
 
     with open(checks._FPRINT_PATH) as f:
         recorded = json.load(f)
+    store_round = max(
+        (v.get("round", -1) for v in recorded.values()), default=-1
+    )
     last = checks.correctness_history()
     red = checks.correctness_red()
     missing = [
         k
         for k in checks.ORACLES
-        if last.get(k, -1) >= 0 and k not in red and k not in recorded
+        if 0 <= last.get(k, -1) <= store_round
+        and k not in red
+        and k not in recorded
     ]
     assert missing == [], f"unfingerprinted green keys: {missing}"
 
