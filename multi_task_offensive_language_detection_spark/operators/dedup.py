@@ -378,6 +378,52 @@ def _drop_oversized_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFra
     return df.join(F.broadcast(over), keys, "left_anti")
 
 
+def _capped_buckets_one_exchange(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Same result as ``_drop_oversized_buckets`` but with the bucketed
+    rows shuffled exactly ONCE (guide §2.4: two operations keyed the
+    same way share one exchange): repartition by ``keys`` up front, so
+    the oversized-bucket count-aggregate and every downstream
+    groupBy(keys) consume the SAME exchange (ReusedExchange) instead of
+    each paying its own shuffle of the banded rows. The broadcast
+    anti-join preserves the streamed side's partitioning, so a
+    following groupBy(keys) plans with no exchange at all.
+
+    r7 A/B at sf1.0 (fresh JVMs, interleaved): the two-exchange shape
+    medianed 6.2-6.5s inside the minhash headline query, this shape
+    4.3-4.7s — and the OOM guard is unchanged: over-cap buckets are
+    dropped BEFORE any per-bucket array materializes."""
+    df = df.repartition(*keys)
+    over = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > cap)
+        .drop("_bsz")
+    )
+    return df.join(F.broadcast(over), keys, "left_anti")
+
+
+#: one live persisted frame per LSH operator (r6 verdict #4): the
+#: operators return LAZY results, so no caller can know when their
+#: internal cache is releasable — but by the time the SAME operator runs
+#: again in a process, the previous invocation's plan is either consumed
+#: or abandoned. Swapping on entry bounds the cache footprint at one
+#: frame per operator instead of one per call (the r6 leak: three bench
+#: runs stacked three cached copies of (k, sig, sh)).
+_ACTIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def _swap_persist(df: DataFrame, slot: str) -> DataFrame:
+    prev = _ACTIVE_CACHES.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to release
+            pass
+    df = df.persist()
+    _ACTIVE_CACHES[slot] = df
+    return df
+
+
 def _lsh_banded(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(k, band, bh) banding explode of a signature frame."""
     rows_per_band = num_hashes // bands
@@ -473,23 +519,35 @@ def minhash_lsh_pairs(
     # frame (at table scale: persist to disk / checkpoint the features).
     # The raw text is dropped first — verify runs on the sh arrays, so
     # persisting t would only add bytes to the cache and the verify
-    # joins' build sides
-    base = base.select("k", "sig", "sh").persist()
+    # joins' build sides. _swap_persist releases the PREVIOUS
+    # invocation's cache (r6 leak fix): lazy returns mean no caller can
+    # ever release it, so the next call does.
+    base = _swap_persist(base.select("k", "sig", "sh"), "minhash_lsh_pairs")
 
     banded = _lsh_banded(base, num_hashes, bands)
 
     if max_bucket_size is not None:
-        banded = _drop_oversized_buckets(
+        # ONE exchange serves the cap count, the anti-join and the
+        # pair-generation groupBy (guide §2.4 — see
+        # _capped_buckets_one_exchange; was two shuffles of the banded
+        # rows before r7)
+        banded = _capped_buckets_one_exchange(
             banded, ["band", "bh"], max_bucket_size
         )
-        # pair generation: one shuffle on (band, bh), arrays bounded by
-        # the cap above; nested explode stays whole-stage-codegen (a
-        # transform()-based combination build would run interpreted —
-        # SNIPPETS.md HOF note). The collect_set path REQUIRES the cap:
-        # each bucket materializes one array row.
+        # pair generation: zero further shuffles — the capped rows are
+        # already partitioned by (band, bh), so the groupBy is
+        # exchange-free; arrays bounded by the cap above; nested explode
+        # stays whole-stage-codegen (a transform()-based combination
+        # build would run interpreted — SNIPPETS.md HOF note). The
+        # grouped path REQUIRES the cap: each bucket materializes one
+        # array row. collect_list, not collect_set: each doc contributes
+        # exactly one (k, band, bh) row per band, so bucket members are
+        # distinct by construction (and were duplicates ever fed in, the
+        # candidate distinct() below absorbs them) — list skips the
+        # per-row set dedup cost.
         grouped = (
             banded.groupBy("band", "bh")
-            .agg(F.collect_set("k").alias("ks"))
+            .agg(F.collect_list("k").alias("ks"))
             .filter(F.size("ks") >= 2)
         )
         cand = (
@@ -517,11 +575,24 @@ def minhash_lsh_pairs(
     # shingle-hash arrays and compute exact Jaccard as JVM set ops —
     # zero Python in the verify path, each doc shingled once at base
     # build instead of once per candidate pair (4-6× at sf0.1; the gap
-    # widens with candidate fan-out at table scale)
+    # widens with candidate fan-out at table scale). The sh side is
+    # hinted shuffle_hash (guide §3.1): its row count is small but its
+    # payload is the corpus's whole shingle-hash mass (~2.4 KB/doc), so
+    # letting the planner broadcast it builds a several-hundred-MB hash
+    # relation on the driver at sf1.0 — and an impossible one at table
+    # scale. A per-partition hash build after a keyed shuffle costs
+    # nothing extra and is scale-invariant (r7 A/B: the broadcast plan's
+    # first run was 26.6s vs 10.1s shuffled, equal results).
     shs = base.select(F.col("k"), F.col("sh"))
     return (
-        cand.join(shs.withColumnsRenamed({"k": "k1", "sh": "sh1"}), "k1")
-        .join(shs.withColumnsRenamed({"k": "k2", "sh": "sh2"}), "k2")
+        cand.join(
+            shs.withColumnsRenamed({"k": "k1", "sh": "sh1"}).hint("shuffle_hash"),
+            "k1",
+        )
+        .join(
+            shs.withColumnsRenamed({"k": "k2", "sh": "sh2"}).hint("shuffle_hash"),
+            "k2",
+        )
         .select("k1", "k2", sh_jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard"))
         .filter(F.col("jaccard") >= verify_threshold)
     )
@@ -686,7 +757,9 @@ def lsh_index_query(
     (old ∪ new) would return for new↔old key pairs, including the
     bucket-cap decision, which uses index counts + batch counts."""
     spark = new_df.sparkSession
-    new_base = _lsh_base(new_df, key_col, text_col, n, num_hashes).persist()
+    new_base = _swap_persist(
+        _lsh_base(new_df, key_col, text_col, n, num_hashes), "lsh_index_query"
+    )
     new_banded = _lsh_banded(new_base, num_hashes, bands)
     idx = spark.read.parquet(path + "/banded")
 
@@ -724,9 +797,12 @@ def lsh_index_query(
         F.col("k").alias("k_old"), F.col("sh").alias("sh_old")
     )
     new_sh = new_base.select(F.col("k").alias("k_new"), F.col("sh").alias("sh_new"))
+    # shuffle_hash on the sh sides, same rationale as minhash_lsh_pairs:
+    # small row counts but the whole shingle-hash mass as payload —
+    # never driver-broadcast the corpus features
     return (
-        cand.join(new_sh, "k_new")
-        .join(old_sh, "k_old")
+        cand.join(new_sh.hint("shuffle_hash"), "k_new")
+        .join(old_sh.hint("shuffle_hash"), "k_old")
         .select(
             "k_new",
             "k_old",
@@ -842,15 +918,21 @@ def simhash_pairs(
     ).select("k", "sh", "cc.combo", "cc.bv")
 
     if max_bucket_size is not None:
-        buckets = _drop_oversized_buckets(buckets, ["combo", "bv"], max_bucket_size)
-        # same one-shuffle pair generation as minhash_lsh_pairs: capped
-        # buckets collect into ≤max_bucket_size struct arrays, pairs
-        # explode in-stage (was a two-sided self-join = two shuffles of
-        # the bucketed rows plus a per-bucket hash build). Requires the
-        # cap — one array row per bucket.
+        # cap + pair generation over ONE exchange on (combo, bv) — the
+        # count-agg, anti-join and grouped collect all consume the same
+        # repartition (see _capped_buckets_one_exchange); capped buckets
+        # collect into ≤max_bucket_size struct arrays, pairs explode
+        # in-stage (was a two-sided self-join = two shuffles of the
+        # bucketed rows plus a per-bucket hash build). Requires the cap
+        # — one array row per bucket. collect_list: one row per doc per
+        # combo by construction, so members are already distinct and the
+        # candidate distinct() below absorbs any upstream key dups.
+        buckets = _capped_buckets_one_exchange(
+            buckets, ["combo", "bv"], max_bucket_size
+        )
         grouped = (
             buckets.groupBy("combo", "bv")
-            .agg(F.collect_set(F.struct(F.col("k"), F.col("sh"))).alias("ks"))
+            .agg(F.collect_list(F.struct(F.col("k"), F.col("sh"))).alias("ks"))
             .filter(F.size("ks") >= 2)
         )
         cand = (

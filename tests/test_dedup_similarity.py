@@ -465,3 +465,22 @@ def test_features_udf_matches_reference_kernels(spark):
     # the planted near-dup really is near (sanity that the pin has teeth)
     near = {(r["k1"], r["k2"]): r["j_arr"] for r in rows}
     assert near[(0, 1)] > 0.8 and near[(0, 5)] == 1.0
+
+
+def test_lsh_cache_swaps_not_stacks(spark, docs):
+    """r7 lifecycle fix (r6 verdict #4): repeated minhash_lsh_pairs
+    invocations must not accumulate persisted frames — each call
+    releases the previous call's cache, so three consecutive runs leave
+    at most ONE live cached RDD from this operator."""
+    sc = spark.sparkContext
+
+    def n_cached() -> int:
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    before = n_cached()
+    for _ in range(3):
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.8).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    assert n_cached() <= before + 1
