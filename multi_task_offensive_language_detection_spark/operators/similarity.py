@@ -17,7 +17,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.arrays import cosine, dot
+from ..functions.arrays import cosine, cosine_lit, dot, dot_lit
 
 
 def _lit_vec(vec) -> Column:
@@ -31,7 +31,7 @@ def brute_force_topk(
     return (
         df.select(
             F.col(id_col),
-            cosine(F.col(vec_col), _lit_vec(query)).alias("cosine"),
+            cosine_lit(vec_col, query).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -46,7 +46,7 @@ def bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     """Sign-bit bucket id: Σ (dot(v, pⱼ) > 0) << j — native expressions."""
     b = F.lit(0)
     for j, p in enumerate(planes):
-        b = b + F.when(dot(F.col(vec_col), _lit_vec(p)) > 0, F.lit(1 << j)).otherwise(0)
+        b = b + F.when(dot_lit(vec_col, [float(x) for x in p]) > 0, F.lit(1 << j)).otherwise(0)
     return b
 
 
@@ -88,11 +88,11 @@ def ivf_assign_expr(vec_col: str, centroids: np.ndarray) -> Column:
     prune to probed lists."""
     # argmin ||v - c||² == argmax (v·c - ||c||²/2)
     best_id = F.lit(0)
-    best_score = dot(F.col(vec_col), _lit_vec(centroids[0])) - float(
+    best_score = dot_lit(vec_col, [float(x) for x in centroids[0]]) - float(
         (centroids[0] ** 2).sum() / 2
     )
     for k in range(1, len(centroids)):
-        s = dot(F.col(vec_col), _lit_vec(centroids[k])) - float(
+        s = dot_lit(vec_col, [float(x) for x in centroids[k]]) - float(
             (centroids[k] ** 2).sum() / 2
         )
         take = s > best_score
@@ -120,7 +120,7 @@ def ivf_topk(
         F.col("_list").isin(probes)
     )
     return (
-        cand.select(F.col(id_col), cosine(F.col(vec_col), _lit_vec(query)).alias("cosine"))
+        cand.select(F.col(id_col), cosine_lit(vec_col, query).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -147,7 +147,7 @@ def lsh_topk(
     probes = [qb] + ([qb ^ (1 << j) for j in range(len(planes))] if multiprobe else [])
     cand = lsh_bucket(df, vec_col, planes).filter(F.col("bucket").isin(probes))
     return (
-        cand.select(F.col(id_col), cosine(F.col(vec_col), _lit_vec(query)).alias("cosine"))
+        cand.select(F.col(id_col), cosine_lit(vec_col, query).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
