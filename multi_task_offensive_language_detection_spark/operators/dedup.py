@@ -550,11 +550,17 @@ def minhash_lsh_pairs(
             .agg(F.collect_list("k").alias("ks"))
             .filter(F.size("ks") >= 2)
         )
+        # the pair dedup and the first verify join share ONE exchange:
+        # hashpartitioning(k1) clusters (k1, k2) — partition keys are a
+        # subset of the distinct keys — so distinct() plans with no
+        # exchange of its own, and the k1 verify join below reuses the
+        # same partitioning for its streamed side (guide §2.4)
         cand = (
             grouped.select("ks", F.explode("ks").alias("k1"))
             .select("k1", F.explode("ks").alias("k2"))
             .filter(F.col("k1") < F.col("k2"))
             .select("k1", "k2")
+            .repartition(F.col("k1"))
             .distinct()
         )
     else:
