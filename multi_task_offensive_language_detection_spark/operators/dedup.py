@@ -178,7 +178,10 @@ def _flat_shingle_hashes(texts: pd.Series, n: int):
     tl = [str(t) for t in texts.fillna("")]
     h, rows = char_ngram_hashes_flat(tl, n)
     if len(h) == 0:
-        return h, np.empty(0, dtype=np.int64), rows
+        # keep the (hashes, rows, nrows) contract: the row count goes in
+        # the THIRD slot (an all-short/empty batch otherwise fed the empty
+        # rows ndarray to np.full((nrows, 64), ...) in the callers)
+        return h, rows, len(tl)
     # distinct shingles per row: lexsort by (row, hash), drop adjacent dups
     order = np.lexsort((h, rows))
     h, rows = h[order], rows[order]

@@ -484,3 +484,25 @@ def test_lsh_cache_swaps_not_stacks(spark, docs):
             "overwrite"
         ).format("noop").save()
     assert n_cached() <= before + 1
+
+
+def test_features_udf_all_short_batch(spark):
+    """Every text shorter than n (or empty/null) in one Arrow batch: the
+    kernel's zero-shingle early return must still report the ROW COUNT in
+    the nrows slot — pre-fix it returned the empty row-id ndarray there
+    and np.full((nrows, 64), ...) raised TypeError on any such batch
+    (latent via the public kernel; _lsh_base length-filters first)."""
+    df = spark.createDataFrame(
+        [(0, "tiny"), (1, ""), (2, None), (3, "abc")], "k long, t string"
+    )
+    rows = (
+        df.withColumn("f", dedup.minhash64_features_udf(5)(F.col("t")))
+        .select("k", F.col("f.sig").alias("sig"), F.col("f.sh").alias("sh"))
+        .orderBy("k")
+        .collect()
+    )
+    assert len(rows) == 4
+    sentinel = np.iinfo(np.int64).max
+    for r in rows:
+        assert r["sh"] == []
+        assert len(r["sig"]) == 64 and all(v == sentinel for v in r["sig"])
