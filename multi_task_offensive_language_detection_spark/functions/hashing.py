@@ -209,3 +209,51 @@ def token_ngram_buckets(tokens: list[str], n: int, n_buckets: int) -> np.ndarray
     for k in range(1, n):
         g = combine_hashes(g, h[k : len(h) - n + 1 + k])
     return (g % np.uint64(n_buckets)).astype(np.int64)
+
+
+# --- Spark-compatible XxHash64 over long columns (vectorized) -----------------
+#
+# Bit-exact numpy replica of Catalyst's ``xxhash64(col1, ..., colk)`` over
+# LongType inputs: Spark chains XXH64.hashLong(value, seed) left-to-right
+# starting from seed 42 (org.apache.spark.sql.catalyst.expressions.XXH64,
+# which implements the public xxHash spec's single-long finalization).
+# Lets Arrow-stage kernels emit the SAME band-bucket hashes the JVM
+# banding expression would produce — pinned against F.xxhash64 by
+# tests/test_dedup_similarity.py.
+
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh64_rotl(x: np.ndarray, r: int) -> np.ndarray:
+    rr = np.uint64(r)
+    return (x << rr) | (x >> (np.uint64(64) - rr))
+
+
+def _xxh64_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XXH_P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XXH_P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_hash_long(val: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    h = seed + _XXH_P5 + np.uint64(8)
+    h = h ^ (_xxh64_rotl(val * _XXH_P2, 31) * _XXH_P1)
+    h = _xxh64_rotl(h, 27) * _XXH_P1 + _XXH_P4
+    return _xxh64_fmix(h)
+
+
+def xxhash64_longs(cols: list[np.ndarray], seed: int = 42) -> np.ndarray:
+    """Vectorized Spark ``xxhash64`` over k uint64 columns (same-length
+    arrays). Returns uint64; view as int64 for the JVM's signed value."""
+    with np.errstate(over="ignore"):
+        h = np.full(len(cols[0]), np.uint64(seed), dtype=np.uint64)
+        for c in cols:
+            h = _xxh64_hash_long(np.ascontiguousarray(c, dtype=np.uint64), h)
+    return h

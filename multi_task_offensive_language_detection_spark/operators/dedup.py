@@ -278,6 +278,68 @@ def minhash64_features_udf(n: int = 5):
     return _feat
 
 
+LSH_BAND_FEATURES = T.StructType(
+    [
+        T.StructField("bhs", T.ArrayType(T.LongType())),
+        T.StructField("sh", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def minhash64_band_features_udf(n: int = 5, bands: int = 8):
+    """text → struct<bhs: per-band bucket hashes, sh: DISTINCT shingle
+    hashes (unsigned-64 sort order, int64 view)> in ONE Arrow pass.
+
+    r7: the 64-slot signature never leaves Python. Its ONLY consumer was
+    the JVM banding expression ``xxhash64(sig[b*r], ..., sig[b*r+r-1])``
+    — an 8-struct array explode whose whole-stage codegen compiled to two
+    ~81 KB Janino classes (one per consumer pipeline of the banded rows)
+    and dominated the query's first-run wall (~22 s of compile at sf0.1,
+    measured codegen-on vs codegen-off). Computing the band hashes here
+    with the vectorized Spark-exact XXH64 chain
+    (functions.hashing.xxhash64_longs, pinned bit-equal to F.xxhash64)
+    emits 8 longs/row instead of 64, shrinks the persisted frame and the
+    banding explode to a trivial posexplode, and keeps every downstream
+    (band, bh) value BIT-IDENTICAL to the former JVM expression —
+    pinned by tests/test_dedup_similarity.py banded-rows equality."""
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    rows_per_band = 64 // bands
+
+    @F.pandas_udf(LSH_BAND_FEATURES)
+    def _feat(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from ..functions.hashing import xxhash64_longs
+
+        for s in it:
+            h, rows, nrows = _flat_shingle_hashes(s, n)
+            sig = np.full((nrows, 64), np.iinfo(np.int64).max, dtype=np.int64)
+            if len(h):
+                counts = np.bincount(rows, minlength=nrows)
+                bounds_all = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                nonempty = np.nonzero(counts > 0)[0]
+                bounds = bounds_all[nonempty]
+                with np.errstate(over="ignore"):
+                    for j in range(64):
+                        mixed = (
+                            h * np.uint64((_MINHASH_A * (2 * j + 1)) & _MINHASH_MASK)
+                        ) ^ np.uint64((j * 0xC2B2AE3D27D4EB4F) & _MINHASH_MASK)
+                        sig[nonempty, j] = np.minimum.reduceat(
+                            mixed.view(np.int64), bounds
+                        )
+                sh_list = np.split(h.view(np.int64), np.cumsum(counts)[:-1])
+            else:
+                sh_list = [np.empty(0, dtype=np.int64)] * nrows
+            sig_u = sig.view(np.uint64)
+            bhs = np.empty((nrows, bands), dtype=np.int64)
+            for b in range(bands):
+                bhs[:, b] = xxhash64_longs(
+                    [sig_u[:, b * rows_per_band + r] for r in range(rows_per_band)]
+                ).view(np.int64)
+            yield pd.DataFrame({"bhs": list(bhs), "sh": sh_list})
+
+    return _feat
+
+
 def sh_jaccard(sh1: Column, sh2: Column) -> Column:
     """Exact distinct-shingle Jaccard of two precomputed hash arrays,
     pure JVM (array_intersect is a hash-set membership pass — O(n+m),
@@ -364,6 +426,54 @@ def _lsh_base(df: DataFrame, key_col: str, text_col: str, n: int, num_hashes: in
         .withColumn("sh", F.array_distinct(F.col("hs")))
         .drop("hs", "shst")
     )
+
+
+def _lsh_base_banded(
+    df: DataFrame, key_col: str, text_col: str, n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(k, t, bhs, sh) projection for the LSH path: per-band bucket
+    hashes (array<bigint>, ``bands`` entries) + distinct shingle-hash
+    array, the signature itself consumed internally. The 64-hash path
+    computes the band hashes inside the Arrow kernel (see
+    minhash64_band_features_udf — kills the two ~81 KB banding codegen
+    classes and shrinks what crosses Arrow from 64 to ``bands`` longs per
+    row); the generic-width path keeps the JVM expression. (band, bh)
+    values are identical either way."""
+    rows_per_band = num_hashes // bands
+    if num_hashes == 64:
+        base = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t")).filter(
+            F.length(F.col(text_col)) >= F.lit(n)
+        )
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < target:
+            base = base.repartition(target, F.col("k"))
+        feat = base.withColumn("_feat", minhash64_band_features_udf(n, bands)(F.col("t")))
+        return feat.select(
+            "k",
+            "t",
+            F.col("_feat.bhs").alias("bhs"),
+            F.col("_feat.sh").alias("sh"),
+        )
+    sig = _lsh_base(df, key_col, text_col, n, num_hashes)
+    return sig.select(
+        "k",
+        "t",
+        F.array(
+            *[
+                F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                )
+                for b in range(bands)
+            ]
+        ).alias("bhs"),
+        "sh",
+    )
+
+
+def _lsh_banded_bhs(base: DataFrame) -> DataFrame:
+    """(k, band, bh) explode of a precomputed band-hash frame — a plain
+    posexplode, codegen-trivial (the band hash chain already ran)."""
+    return base.select("k", F.posexplode("bhs").alias("band", "bh"))
 
 
 def _drop_oversized_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
@@ -462,7 +572,9 @@ def minhash_lsh_bucket_stats(
     cap drops, plus the short-text row count excluded from the LSH path.
     Run with the same parameters as the pairs call and log the result."""
     n_short = df.filter(F.length(F.col(text_col)) < F.lit(n)).count()
-    banded = _lsh_banded(_lsh_base(df, key_col, text_col, n, num_hashes), num_hashes, bands)
+    banded = _lsh_banded_bhs(
+        _lsh_base_banded(df, key_col, text_col, n, num_hashes, bands)
+    )
     # sizes only — never collect keys per bucket: the over-cap buckets are
     # exactly the ones where a per-bucket collect would blow executor memory
     sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("sz"))
@@ -517,17 +629,19 @@ def minhash_lsh_pairs(
       for k≈millions is THE failure mode of banded LSH at 100 TB. This
       is a recall cap, not a silent one — ``minhash_lsh_bucket_stats``
       reports the dropped mass with the same parameters."""
-    base = _lsh_base(df, key_col, text_col, n, num_hashes)
+    base = _lsh_base_banded(df, key_col, text_col, n, num_hashes, bands)
     # persisted: the banding explode AND the verify join re-read this
     # frame (at table scale: persist to disk / checkpoint the features).
     # The raw text is dropped first — verify runs on the sh arrays, so
     # persisting t would only add bytes to the cache and the verify
-    # joins' build sides. _swap_persist releases the PREVIOUS
+    # joins' build sides. The 64-slot signature is gone too (r7): only
+    # the per-band bucket hashes (bands longs/row) are kept, which is
+    # all banding ever consumed. _swap_persist releases the PREVIOUS
     # invocation's cache (r6 leak fix): lazy returns mean no caller can
     # ever release it, so the next call does.
-    base = _swap_persist(base.select("k", "sig", "sh"), "minhash_lsh_pairs")
+    base = _swap_persist(base.select("k", "bhs", "sh"), "minhash_lsh_pairs")
 
-    banded = _lsh_banded(base, num_hashes, bands)
+    banded = _lsh_banded_bhs(base)
 
     if max_bucket_size is not None:
         # ONE exchange serves the cap count, the anti-join and the
@@ -737,8 +851,8 @@ def lsh_index_write(
     corpus), and PARTIAL per-bucket counts (queries sum them, so
     appends never rewrite old counts — the same additive-ledger idea as
     the pipeline's counters)."""
-    base = _lsh_base(df, key_col, text_col, n, num_hashes).persist()
-    banded = _lsh_banded(base, num_hashes, bands)
+    base = _lsh_base_banded(df, key_col, text_col, n, num_hashes, bands).persist()
+    banded = _lsh_banded_bhs(base)
     banded.write.mode(mode).partitionBy("band").parquet(path + "/banded")
     banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
         mode
@@ -766,10 +880,16 @@ def lsh_index_query(
     (old ∪ new) would return for new↔old key pairs, including the
     bucket-cap decision, which uses index counts + batch counts."""
     spark = new_df.sparkSession
+    # persist only what downstream re-reads: bhs for the banding explode
+    # + counts, sh for the verify join (t was cached before r7 for no
+    # consumer)
     new_base = _swap_persist(
-        _lsh_base(new_df, key_col, text_col, n, num_hashes), "lsh_index_query"
+        _lsh_base_banded(new_df, key_col, text_col, n, num_hashes, bands).select(
+            "k", "bhs", "sh"
+        ),
+        "lsh_index_query",
     )
-    new_banded = _lsh_banded(new_base, num_hashes, bands)
+    new_banded = _lsh_banded_bhs(new_base)
     idx = spark.read.parquet(path + "/banded")
 
     if max_bucket_size is not None:

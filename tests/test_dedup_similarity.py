@@ -506,3 +506,46 @@ def test_features_udf_all_short_batch(spark):
     for r in rows:
         assert r["sh"] == []
         assert len(r["sig"]) == 64 and all(v == sentinel for v in r["sig"])
+
+
+def test_band_hashes_match_jvm_banding(spark, docs):
+    """r7 codegen fix: the Arrow kernel's numpy XXH64 chain must emit the
+    SAME (k, band, bh) rows the former JVM banding expression
+    (explode of xxhash64(sig[b*r], ..., sig[b*r+r-1])) produced — the
+    bucket space, and therefore the candidate pair set, is bit-frozen."""
+    old = dedup._lsh_banded(dedup._lsh_base(docs, "doc_id", "text", 5, 64), 64, 8)
+    new = dedup._lsh_banded_bhs(
+        dedup._lsh_base_banded(docs, "doc_id", "text", 5, 64, 8)
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert old.count() == new.count() == 6 * 8  # 6 length-eligible docs x 8 bands
+
+
+def test_xxhash64_longs_matches_spark(spark):
+    """The numpy XXH64 chain is bit-equal to Catalyst's xxhash64 over
+    long columns (the property the banding move rests on)."""
+    import pandas as pd
+
+    from multi_task_offensive_language_detection_spark.functions.hashing import (
+        xxhash64_longs,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(-(2**63), 2**63, 500, dtype=np.int64)
+    b = rng.integers(-(2**63), 2**63, 500, dtype=np.int64)
+    pdf = pd.DataFrame({"i": np.arange(500), "a": a, "b": b})
+    rows = (
+        spark.createDataFrame(pdf)
+        .repartition(1)
+        .select("i", F.xxhash64("a", "b").alias("h"), F.xxhash64("a").alias("h1"))
+        .collect()
+    )
+    got2 = np.empty(500, dtype=np.int64)
+    got1 = np.empty(500, dtype=np.int64)
+    for r in rows:
+        got2[r["i"]] = r["h"]
+        got1[r["i"]] = r["h1"]
+    exp2 = xxhash64_longs([a.view(np.uint64), b.view(np.uint64)]).view(np.int64)
+    exp1 = xxhash64_longs([a.view(np.uint64)]).view(np.int64)
+    assert (got2 == exp2).all() and (got1 == exp1).all()
