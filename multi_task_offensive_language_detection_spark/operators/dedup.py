@@ -389,6 +389,24 @@ def jaccard_texts_udf(n: int = 5):
     return _j
 
 
+def _underpartitioned(df: DataFrame) -> bool:
+    """True when the frame's scan has fewer input files than cores.
+
+    Partitioning is a pure performance decision here (the pair set is
+    partition-invariant), so a cheap proxy beats the exact probe: r7
+    replaced ``df.rdd.getNumPartitions()`` — which builds the full
+    physical plan + RDD DAG on the driver, ~0.1 s per fresh DataFrame —
+    with ``inputFiles()`` (a cached file listing, ~ms). Each input file
+    yields at least one scan partition, so n_files ≥ cores means the UDF
+    stage is already spread; the rare huge-files-few-of-them layout
+    takes one unnecessary keyed shuffle, which is the safe direction."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        return len(df.inputFiles()) < target
+    except Exception:  # non-file source — fall back to the exact probe
+        return df.rdd.getNumPartitions() < target
+
+
 def _lsh_base(df: DataFrame, key_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
     """(k, t, sig, sh) projection for the LSH path — signature for the
     banding, distinct shingle-hash array for the JVM verify (each doc is
@@ -402,9 +420,10 @@ def _lsh_base(df: DataFrame, key_col: str, text_col: str, n: int, num_hashes: in
     # file = one task would serialize the whole corpus through a single
     # Python worker). Keyed repartition, so the shuffle is deterministic;
     # a well-partitioned 100 TB source skips this branch entirely.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target, F.col("k"))
+    if _underpartitioned(base):
+        base = base.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("k")
+        )
     if num_hashes == 64:
         # vectorized numpy shingle+signature+distinct-hash array, ONE
         # Arrow stage: only raw texts cross into Python, sig + sh come
@@ -444,9 +463,10 @@ def _lsh_base_banded(
         base = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t")).filter(
             F.length(F.col(text_col)) >= F.lit(n)
         )
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if base.rdd.getNumPartitions() < target:
-            base = base.repartition(target, F.col("k"))
+        if _underpartitioned(base):
+            base = base.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, F.col("k")
+            )
         feat = base.withColumn("_feat", minhash64_band_features_udf(n, bands)(F.col("t")))
         return feat.select(
             "k",

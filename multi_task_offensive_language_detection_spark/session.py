@@ -43,17 +43,27 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # parallelismFirst=true (the default) stops AQE from coalescing
-        # below defaultParallelism, so every tiny post-shuffle stage pays
-        # one task per core of scheduling + Arrow/Python overhead. The
-        # Spark tuning guide itself recommends false on busy clusters;
-        # with it, reduce-task count follows DATA SIZE (16 MB advisory —
-        # small enough to keep compute-heavy stages parallel, large
-        # enough that metadata-sized shuffles collapse to one task).
-        # A/B at sf0.1 local[32]: every headline query improved, total
-        # 14.2->10.3s and 11.4->9.7s back-to-back (r4).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # parallelismFirst=true (Spark's default, restored r7): keep AQE
+        # from coalescing reduce stages below defaultParallelism. r4 set
+        # it false (data-sized 16 MB reduce tasks) when the engine's
+        # post-shuffle stages were metadata-sized; the r6/r7 operator
+        # shapes put real CPU after exchanges (window/session sort+agg,
+        # LSH bucket cap + pair explode + set-op verify), and a 30 MB
+        # shuffle coalesced to two 16 MB tasks serializes that compute on
+        # 2 of 32 cores. r7 interleaved A/B (fresh sessions, min-of-2 per
+        # cell): 10x-sf0.1 data — win_moving_avg 1.56→0.66, stream_session
+        # 2.06→1.21, dedup_minhash_lsh 7.5/6.2→4.9/4.3, pipeline 2.0/1.2→
+        # 1.3/1.1; sf0.1 — every query ≤ or equal, 5-query sum 2.20→1.87.
+        # In local mode (shuffle.partitions == cores) this disables
+        # coalescing outright; on a cluster with shuffle.partitions above
+        # core count, AQE still coalesces down to the advisory size but
+        # never below the cluster's parallelism — the scale-adaptive
+        # behavior the optimization guide recommends (§2.2).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ~10k rows per Arrow batch keeps the pandas-UDF stages (langid,
