@@ -546,6 +546,19 @@ _ACTIVE_CACHES: dict[str, DataFrame] = {}
 
 
 def _swap_persist(df: DataFrame, slot: str) -> DataFrame:
+    """Persist ``df``, releasing the slot's previous cache, and
+    MATERIALIZE it eagerly before returning.
+
+    The eager count matters as much as the persist (r7, event-log
+    diagnosis): the LSH operators fan the persisted frame out to four
+    consumers (banding explode, bucket-cap count, and both verify join
+    sides), and AQE submits those leaf stages as CONCURRENT jobs. With a
+    lazy persist no cache partition exists when the race starts, so each
+    job recomputed the whole Arrow features stage — four overlapping
+    ~3.6 s UDF stages per run at 10x bench scale, 4x the Python-worker
+    demand (128 concurrent workers), and bimodal 5 s / 20 s walls
+    depending on who won the race. One cheap count() populates the cache
+    once; every consumer then reads InMemoryTableScan hits."""
     prev = _ACTIVE_CACHES.pop(slot, None)
     if prev is not None:
         try:
@@ -554,6 +567,7 @@ def _swap_persist(df: DataFrame, slot: str) -> DataFrame:
             pass
     df = df.persist()
     _ACTIVE_CACHES[slot] = df
+    df.count()
     return df
 
 
