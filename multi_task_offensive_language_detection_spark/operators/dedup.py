@@ -993,7 +993,12 @@ def simhash64_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     obvious (T,64) uint64-shift expansion is 2× SLOWER than the old
     loop on memory traffic alone). Values changed with the hash family;
     every simhash property (identical→0, pigeonhole recall, cap) is
-    hash-agnostic and pytest-pinned."""
+    hash-agnostic and pytest-pinned. Two consequences of the family
+    (ADVICE r6): tokens sharing a 16-char prefix hash identically
+    (noise to a majority-vote sketch, stated for consumers), and any
+    simhash PERSISTED before the r6 swap is incomparable with current
+    values — persisted simhash artifacts must be versioned alongside
+    ARTIFACT_VERSION or rebuilt (this repo persists none)."""
     from ..functions.hashing import token_hash_batch
 
     shifts = np.arange(64, dtype=np.uint64)
