@@ -549,3 +549,22 @@ def test_xxhash64_longs_matches_spark(spark):
     exp2 = xxhash64_longs([a.view(np.uint64), b.view(np.uint64)]).view(np.int64)
     exp1 = xxhash64_longs([a.view(np.uint64)]).view(np.int64)
     assert (got2 == exp2).all() and (got1 == exp1).all()
+
+
+def test_lsh_persist_is_materialized_eagerly(spark, docs):
+    """r7: _swap_persist must populate the cache BEFORE the operator
+    returns — a lazy persist let AQE's four concurrent consumers of the
+    base frame (banding, cap count, both verify sides) race to compute
+    the Arrow features stage, each paying the full UDF cost. Building
+    the plan (no action on the result yet) must leave the slot's cache
+    with its blocks already stored."""
+    from multi_task_offensive_language_detection_spark.operators.dedup import (
+        _ACTIVE_CACHES,
+    )
+
+    spark.catalog.clearCache()
+    dedup.minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.8)
+    cached = _ACTIVE_CACHES["minhash_lsh_pairs"]
+    assert cached.storageLevel.useMemory
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert any(i.numCachedPartitions() > 0 for i in infos)
